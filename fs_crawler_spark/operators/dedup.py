@@ -1,0 +1,241 @@
+"""Deduplication operators for web-text corpora.
+
+The crawl engine's seen-set handles URL-level dedup; these operators handle
+CONTENT-level dedup — the first stage of any 100 TB training-data pipeline.
+Five strategies, cheapest-first:
+
+  exact          md5(text) groupBy — one shuffle on a 32-byte key
+  fingerprint    shingle rolling-hash key (functions.textfns.doc_fingerprint)
+  minhash LSH    shingle -> k minhashes -> b bands -> bucket join; candidate
+                 pairs verified with exact Jaccard (no false positives)
+  simhash        64-bit simhash + hamming-ball grouping on 16-bit blocks
+  ngram Jaccard  exact token-set Jaccard via explode + self-join (the
+                 verifier; quadratic within blocking keys only)
+  embedding      cosine near-dup over embedding vectors (operators.similarity)
+
+Scale notes: every strategy is shuffle-bounded by its blocking key (hash,
+band, simhash block) — never an unblocked cross join. The md5/minhash choice
+is deliberate: md5 is computable in DuckDB too, so every operator here has an
+exact SQL oracle.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..functions.textfns import doc_fingerprint, text_sha, ws_tokens
+
+
+# ---------------------------------------------------------------------------
+# Exact + fingerprint dedup
+# ---------------------------------------------------------------------------
+def exact_dedup(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """Keep the min-id representative per identical text. Returns survivors."""
+    w = Window.partitionBy("_sha").orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("_sha", text_sha(F.col(text_col)))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_sha", "_rn")
+    )
+
+
+def exact_dup_groups(docs: DataFrame, id_col: str = "doc_id", text_col: str = "text") -> DataFrame:
+    """(sha, n_docs, keeper_id) per duplicate group with n_docs >= 2."""
+    return (
+        docs.select(F.col(id_col), text_sha(F.col(text_col)).alias("sha"))
+        .groupBy("sha")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_docs") >= 2)
+    )
+
+
+def fingerprint_dedup(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", shingle: int = 8
+) -> DataFrame:
+    """Near-dup keying on the rolling-hash fingerprint; min-id survivor."""
+    w = Window.partitionBy("_fp").orderBy(F.col(id_col).asc())
+    return (
+        docs.withColumn("_fp", doc_fingerprint(F.col(text_col), shingle))
+        .withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_fp", "_rn")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Token-set Jaccard (exact verifier; also standalone with a blocking key)
+# ---------------------------------------------------------------------------
+def token_jaccard_pairs(
+    docs: DataFrame,
+    threshold: float,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    block_col: str | None = None,
+) -> DataFrame:
+    """All doc pairs (a < b) with token-set Jaccard >= threshold.
+
+    Shuffle shape: explode to (token, id), self-join on token (co-partitioned),
+    groupBy pair. ``block_col`` (e.g. source, LSH band) bounds the join —
+    REQUIRED at real scale; optional at test scale.
+    Returns (id_a, id_b, jaccard) with jaccard rounded to 4 dp.
+    """
+    toks = docs.select(
+        F.col(id_col).alias("id"),
+        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        F.explode(F.array_distinct(ws_tokens(F.col(text_col)))).alias("tok"),
+    )
+    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+    join_keys = ["tok"] + (["_blk"] if block_col else [])
+    a = toks.select(*[F.col(c) for c in join_keys], F.col("id").alias("id_a"))
+    b = toks.select(*[F.col(c) for c in join_keys], F.col("id").alias("id_b"))
+    inter = (
+        a.join(b, on=join_keys)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .groupBy("id_a", "id_b")
+        .agg(F.count("*").alias("inter"))
+    )
+    out = (
+        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
+        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
+            ),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+    return out
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+def _shingle_hashes(text_col: str, shingle: int):
+    toks = ws_tokens(F.col(text_col))
+    n_windows = F.greatest(F.lit(1), F.size(toks) - (shingle - 1))
+    return F.transform(
+        F.sequence(F.lit(1), n_windows),
+        lambda i: F.concat_ws(" ", F.slice(toks, i, shingle)),
+    )
+
+
+def minhash_signature(text_col: str, num_hashes: int, shingle: int):
+    """Array of ``num_hashes`` minhash values: min over shingles of
+    md5(perm_index || ':' || shingle). String-min over md5 hex = a valid
+    permutation family, and identically computable in DuckDB (exact oracle)."""
+    shingles = _shingle_hashes(text_col, shingle)
+    return F.array(
+        *[
+            F.array_min(
+                F.transform(
+                    shingles, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s))
+                )
+            )
+            for j in range(num_hashes)
+        ]
+    )
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame,
+    threshold: float = 0.5,
+    num_hashes: int = 16,
+    bands: int = 4,
+    shingle: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs via banded MinHash-LSH, verified with exact shingle
+    Jaccard (so the output has no false positives; recall is the LSH knob).
+
+    Plan shape: signature (no shuffle) -> explode bands -> groupBy band-bucket
+    (shuffle on band hash) -> pairs within buckets -> exact verify join.
+    Returns (id_a, id_b, jaccard).
+    """
+    rows_per_band = num_hashes // bands
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(text_col, num_hashes, shingle).alias("sig"),
+        F.array_distinct(_shingle_hashes(text_col, shingle)).alias("shingles"),
+    )
+    banded = sig.select(
+        "id",
+        "shingles",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.md5(
+                            F.concat_ws(
+                                "|", F.slice("sig", b * rows_per_band + 1, rows_per_band)
+                            )
+                        ).alias("bucket"),
+                    )
+                    for b in range(bands)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
+
+    a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    cand = (
+        a.join(b, on=["band", "bucket"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", "sh_a", "sh_b")
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cand.withColumn("jaccard", F.round(inter / union, 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def simhash(text_col: str, bits: int = 32):
+    """SimHash over whitespace tokens using md5-derived per-token bit vectors
+    (first ``bits`` hex chars -> 4 bits each... simplified: bit i of token t =
+    parity of hex digit i of md5(t)). Cross-engine reproducible."""
+    toks = F.array_distinct(ws_tokens(F.col(text_col)))
+    # bit i contribution: +1 if hex digit i of md5(tok) >= '8' (top bit set)
+    digits = F.transform(toks, lambda t: F.md5(t))
+
+    def bit_sum(i: int):
+        one = F.size(
+            F.filter(
+                digits,
+                lambda h: F.upper(F.substring(h, i + 1, 1)).isin(
+                    "8", "9", "A", "B", "C", "D", "E", "F"
+                ),
+            )
+        )
+        return (one * 2 > F.size(digits)).cast("long")
+
+    out = F.lit(0).cast("long")
+    for i in range(bits):
+        out = out + (bit_sum(i) * F.lit(1 << i))
+    return out
+
+
+def simhash_dup_groups(
+    docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
+) -> DataFrame:
+    """Group docs by identical simhash (hamming distance 0 buckets);
+    returns (simhash, n_docs, keeper_id) for groups of >= 2. Near-dup search
+    at hamming<=k extends this by exploding 16-bit blocks as bucket keys."""
+    return (
+        docs.select(F.col(id_col), simhash(text_col, bits).alias("simhash"))
+        .groupBy("simhash")
+        .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
+        .filter(F.col("n_docs") >= 2)
+    )

@@ -1,0 +1,63 @@
+"""Frontier / seen-set set algebra (SURVEY.md F1-F7).
+
+The reference probes per-id membership (graph_memory_impl.py:45-46,
+graph_db_impl.py:101-107); a distributed engine never does per-row probes —
+the whole family collapses into anti-joins and grouped first-write-wins:
+
+  F1 add_to_frontier   -> left_anti join of candidates vs (seen ∪ processing)
+  F2 start_iteration   -> frontier/processing swap = the round barrier
+  F4/F5 first-write-wins dedup -> groupBy + min() over a deterministic key
+  F7 set difference/union -> left_anti / union
+
+Anti-joins key on (url_hash, url): the long hash drives partitioning/compare
+speed, the url equality makes the join exact under hash collision (correctness
+never depends on the 64-bit hash). At 10^10 URLs the seen side is a bucketed
+Iceberg table (bucket(N, url) transform) so the probe is a storage-partitioned
+join; the parquet test impl stores per-round seen deltas partitioned by
+``shard = pmod(url_hash, N)`` to model the same layout.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from ..functions.urls import canonicalize_url, url_hash, url_host
+
+JOIN_KEY = ["url_hash", "url"]
+
+
+def as_frontier_rows(urls: DataFrame, discovered_iter: int, priority: Column | None = None) -> DataFrame:
+    """Canonicalize raw url strings into frontier-schema rows."""
+    canon = canonicalize_url(F.col("url"))
+    out = urls.select(canon.alias("url")).select(
+        "url",
+        url_hash(F.col("url")).alias("url_hash"),
+        url_host(F.col("url")).alias("host"),
+        (priority if priority is not None else F.lit(0.0)).alias("priority"),
+        F.lit(discovered_iter).cast("int").alias("discovered_iter"),
+    )
+    return out
+
+
+def dedup_frontier(frontier: DataFrame) -> DataFrame:
+    """First-write-wins within a frontier batch (F4/F5 analog).
+
+    Deterministic: per url keep min(priority), min(discovered_iter) — not
+    ``dropDuplicates`` on unordered input (SURVEY.md §7 hard part (b)).
+    """
+    return frontier.groupBy("url", "url_hash", "host").agg(
+        F.min("priority").alias("priority"),
+        F.min("discovered_iter").alias("discovered_iter"),
+    )
+
+
+def anti_join_seen(candidates: DataFrame, seen: DataFrame) -> DataFrame:
+    """F1: drop every candidate whose url is already seen (exact)."""
+    return candidates.join(seen.select(*JOIN_KEY), on=JOIN_KEY, how="left_anti")
+
+
+def merge_frontier(deferred: DataFrame, fresh: DataFrame) -> DataFrame:
+    """Union the deferred (over-budget) frontier with newly discovered urls,
+    first-write-wins per url."""
+    return dedup_frontier(deferred.unionByName(fresh))

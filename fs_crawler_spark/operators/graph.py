@@ -1,0 +1,287 @@
+"""Graph analytics over the crawl output (SURVEY.md §2.5/§2.6).
+
+DataFrame re-expressions of the reference's SQLite/dict analytics:
+
+  * resolution rule A4        (graph.py:188-224, determine_resolution)
+  * horizon classification A2/A3 (graph_db_impl.py:201-215, graph_writer.py:100-114)
+  * validator pivots A5-A7    (graph_validator.py:96-189)
+  * lifespan -> birth year P6 (graph_validator.py:24-35, quirks preserved)
+  * hop filtering J6          (db_reader.py:84-155)
+  * CSR export prep J5/O2/O3  (db_reader.py:8-49)
+
+Everything is equi-join + groupBy + window algebra — no UDFs — so Catalyst
+handles pushdown/broadcast; the vertices side of every join here is the small
+dimension at crawl scale (edges ≫ vertices) and broadcasts automatically.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from ..schemas import ASSUMED_BIOLOGICAL, RESOLVE, UNTYPED_PARENT
+
+# Type sets from the reference validator/reader.
+RELATIONSHIP_VALIDATIONS = ("BiologicalParent", "UnspecifiedParentType")
+RELATIONSHIPS_RESOLUTIONS = (UNTYPED_PARENT,)
+CSR_EDGE_TYPES = ("AssumedBiological", "UnspecifiedParentType", "BiologicalParent")
+
+
+# ---------------------------------------------------------------------------
+# A4 — relationship resolution rule.
+# ---------------------------------------------------------------------------
+def determine_resolution(relationships: DataFrame) -> DataFrame:
+    """Flag each relationship id AssumedBiological or Resolve.
+
+    Input columns: (source, id, color) — one row per (child, rel, parent
+    gender) observation; duplicates collapse (the reference accumulates into
+    per-gender **sets**, graph.py:201-211).
+
+    Rule (graph.py:214-224): within a child, group rel-ids by parent gender;
+    total = Σ group sizes (a rel counted once per gender it appears with); a
+    gender-group of size 1 with total < 3 ⇒ AssumedBiological, else Resolve.
+    A rel flagged from several groups resolves Resolve-wins (deterministic
+    version of the reference's dict-order last-write).
+
+    Returns (id, type).
+    """
+    rels = relationships.select("source", "id", "color").distinct()
+    groups = rels.groupBy("source", "color").agg(F.count("*").alias("grp_size"))
+    totals = groups.withColumn(
+        "total", F.sum("grp_size").over(Window.partitionBy("source"))
+    )
+    flagged = rels.join(totals, on=["source", "color"], how="inner").withColumn(
+        "_resolve",
+        F.when((F.col("grp_size") == 1) & (F.col("total") < 3), F.lit(0)).otherwise(
+            F.lit(1)
+        ),
+    )
+    return flagged.groupBy("id").agg(
+        F.when(F.max("_resolve") == 1, F.lit(RESOLVE))
+        .otherwise(F.lit(ASSUMED_BIOLOGICAL))
+        .alias("type")
+    )
+
+
+def resolution_input(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """J4: untyped edges joined to destination gender -> A4 input.
+
+    The reference's ORDER BY source (graph_db_impl.py:228) existed only to
+    enable a streaming group-by; groupBy makes it unnecessary (SURVEY.md O1).
+    """
+    return (
+        edges.filter(F.col("type").isin(*RELATIONSHIPS_RESOLUTIONS))
+        .join(
+            vertices.select(F.col("id").alias("destination"), "color"),
+            on="destination",
+            how="inner",
+        )
+        .select("source", F.col("id"), "color")
+    )
+
+
+# ---------------------------------------------------------------------------
+# A2/A3 — horizon classification of edges.
+# ---------------------------------------------------------------------------
+def classify_edges(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Add ``class`` ∈ {within, spanning, frontier} per edge: both endpoints
+    resolved / exactly one / neither (graph.py:18-26)."""
+    v = vertices.select("id")
+    src_in = v.select(F.col("id").alias("source")).withColumn("_src_in", F.lit(True))
+    dst_in = v.select(F.col("id").alias("destination")).withColumn("_dst_in", F.lit(True))
+    out = (
+        edges.join(src_in, on="source", how="left")
+        .join(dst_in, on="destination", how="left")
+        .withColumn(
+            "class",
+            F.when(F.col("_src_in").isNotNull() & F.col("_dst_in").isNotNull(), "within")
+            .when(F.col("_src_in").isNotNull() | F.col("_dst_in").isNotNull(), "spanning")
+            .otherwise("frontier"),
+        )
+        .drop("_src_in", "_dst_in")
+    )
+    return out
+
+
+def relationship_counts(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """(within, spanning, frontier) counts — A2 (graph_db_impl.py:201-215)."""
+    return (
+        classify_edges(edges, vertices)
+        .groupBy()
+        .agg(
+            F.sum(F.when(F.col("class") == "within", 1).otherwise(0)).alias("within"),
+            F.sum(F.when(F.col("class") == "spanning", 1).otherwise(0)).alias("spanning"),
+            F.sum(F.when(F.col("class") == "frontier", 1).otherwise(0)).alias("frontier"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# P6 — lifespan parsing (quirks of graph_validator.py:24-35 preserved:
+# the delimiter search is for the SUBSTRING '-1', so '1900-2005' -> 0/Dead).
+# ---------------------------------------------------------------------------
+def birth_year(lifespan) -> F.Column:
+    pos = F.locate("-1", lifespan)
+    return (
+        F.when(pos > 1, F.substring(lifespan, F.lit(1), pos - 1).cast("int"))
+        .when(pos == 1, F.expr(f"CAST(substring({_sql(lifespan)}, 2) AS INT)"))
+        .when(lifespan == "Living", F.lit(3000))
+        .otherwise(F.lit(0))
+    )
+
+
+def _sql(col) -> str:
+    from pyspark.sql import Column
+
+    return col._jc.toString() if isinstance(col, Column) else str(col)  # noqa: SLF001
+
+
+# ---------------------------------------------------------------------------
+# A5/A6/A7 — validator analytics.
+# ---------------------------------------------------------------------------
+def validation_counts(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Per-child parent counts by gender over validation-type edges
+    (graph_validator.py:96-119): (source, male, female, unknown, total)."""
+    parents = vertices.select(F.col("id").alias("destination"), "color")
+    return (
+        edges.filter(F.col("type").isin(*RELATIONSHIP_VALIDATIONS))
+        .join(parents, on="destination", how="inner")
+        .groupBy("source")
+        .agg(
+            F.sum(F.when(F.col("color") == -1, 1).otherwise(0)).alias("male"),
+            F.sum(F.when(F.col("color") == 1, 1).otherwise(0)).alias("female"),
+            F.sum(F.when(F.col("color") == 0, 1).otherwise(0)).alias("unknown"),
+            F.count("*").alias("total"),
+        )
+    )
+
+
+def invalid_children(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Children with > 2 validated parents, sub-classified into the reference's
+    8 buckets (graph_validator.py:126-154 when-cascade, order preserved)."""
+    c = validation_counts(edges, vertices).filter(F.col("total") > 2)
+    m, f, u = F.col("male") > 1, F.col("female") > 1, F.col("unknown") > 1
+    return c.withColumn(
+        "bucket",
+        F.when(m & f & u, "male_female_unknown")
+        .when(f & u, "female_unknown")
+        .when(m & u, "male_unknown")
+        .when(m & f, "male_female")
+        .when(m, "father")
+        .when(f, "mother")
+        .otherwise("unknown"),
+    )
+
+
+def invalid_birth_decade_histogram(
+    edges: DataFrame, vertices: DataFrame
+) -> DataFrame:
+    """A6: decade histogram of invalid children's birth years."""
+    inv = invalid_children(edges, vertices).select(F.col("source").alias("id"))
+    by = vertices.join(inv, on="id", how="inner").select(
+        (F.floor(birth_year(F.col("lifespan")) / 10) * 10).alias("decade")
+    )
+    return by.groupBy("decade").agg(F.count("*").alias("n")).orderBy("decade")
+
+
+def invalid_by_iteration_histogram(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """A7: invalid children per crawl iteration."""
+    inv = invalid_children(edges, vertices).select(F.col("source").alias("id"))
+    return (
+        vertices.join(inv, on="id", how="inner")
+        .groupBy("iteration")
+        .agg(F.count("*").alias("n"))
+        .orderBy("iteration")
+    )
+
+
+def children_needing_resolution(edges: DataFrame, vertices: DataFrame) -> DataFrame:
+    """Children whose UNTYPED edges have >1 same-gender parent
+    (graph_validator.py:161-164)."""
+    parents = vertices.select(F.col("id").alias("destination"), "color")
+    return (
+        edges.filter(F.col("type").isin(*RELATIONSHIPS_RESOLUTIONS))
+        .join(parents, on="destination", how="inner")
+        .groupBy("source", "color")
+        .agg(F.count("*").alias("n"))
+        .filter(F.col("n") > 1)
+        .select("source")
+        .distinct()
+    )
+
+
+def relationships_to_resolve(edges: DataFrame) -> DataFrame:
+    """A8: distinct rel ids flagged Resolve (graph_db_impl.py:233-249)."""
+    return edges.filter(F.col("type") == RESOLVE).select("id").distinct()
+
+
+# ---------------------------------------------------------------------------
+# J6 — hop filtering (predicate pushed below the joins; with Iceberg
+# partition-by-iteration this is partition pruning).
+# ---------------------------------------------------------------------------
+def hop_filter(vertices: DataFrame, edges: DataFrame, hops: int | None):
+    if hops is None:
+        return vertices, edges
+    v = vertices.filter(F.col("iteration") < hops)
+    ids = v.select("id")
+    e = (
+        edges.join(ids.withColumnRenamed("id", "source"), on="source", how="left_semi")
+        .join(ids.withColumnRenamed("id", "destination"), on="destination", how="left_semi")
+        .select(edges.columns)
+    )
+    return v, e
+
+
+# ---------------------------------------------------------------------------
+# J5/O2/O3 — CSR export prep: positions + red-black adjacency entries.
+# ---------------------------------------------------------------------------
+def with_positions(vertices: DataFrame, order_col: str = "id") -> DataFrame:
+    """O3 canonical ordering: dense 0-based position (ORDERING-table analog).
+
+    The reference delegates ordering to a pluggable graph builder
+    (db_reader.py:189); default here is lexicographic by id — deterministic
+    and total. NOTE: a global row_number is a single-partition sort at the
+    very end; for a 10^10-vertex export use zipWithIndex-style
+    ``monotonically_increasing_id`` + per-partition offsets instead.
+    """
+    w = Window.orderBy(F.col(order_col).asc())
+    return vertices.withColumn("position", F.row_number().over(w) - 1)
+
+
+def csr_entries(vertices_pos: DataFrame, edges: DataFrame) -> DataFrame:
+    """Red-black adjacency entries (test_db_reader.py:15-45 semantics):
+    one diagonal entry per vertex (val = color) + one entry per
+    CSR-type edge (val = 3 if destination is female else 2).
+
+    Returns (row, col, val); consumer assembles CSR via mapInArrow.
+    """
+    v = vertices_pos.select("id", "color", "position")
+    diag = v.select(
+        F.col("position").alias("row"),
+        F.col("position").alias("col"),
+        F.col("color").alias("val"),
+    )
+    src = v.select(F.col("id").alias("source"), F.col("position").alias("row"))
+    dst = v.select(
+        F.col("id").alias("destination"),
+        F.col("position").alias("col"),
+        F.col("color").alias("_dcolor"),
+    )
+    edge_entries = (
+        edges.filter(F.col("type").isin(*CSR_EDGE_TYPES))
+        .join(src, on="source", how="inner")
+        .join(dst, on="destination", how="inner")
+        .select(
+            "row",
+            "col",
+            F.when(F.col("_dcolor") == 1, F.lit(3)).otherwise(F.lit(2)).alias("val"),
+        )
+    )
+    return diag.unionByName(edge_entries)
+
+
+def renumber_vertices(vertices: DataFrame, order_col: str = "id") -> DataFrame:
+    """save_valid_graph renumbering analog (graph_validator.py:196-205):
+    1-based vertex_number in canonical order."""
+    w = Window.orderBy(F.col(order_col).asc())
+    return vertices.withColumn("vertex_number", F.row_number().over(w))

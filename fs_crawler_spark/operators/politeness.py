@@ -1,0 +1,62 @@
+"""Per-host politeness budget selection (SURVEY.md B1/B3/O5).
+
+The reference paces a single API host with fixed batch constants
+(MAX_PERSONS=200, 40-wide waves, 2 s sleeps — fsapi.py:24-34, 43-69). The
+engine generalizes this to per-host priority queues: each round fetches at
+most ``host_budget`` urls per host, ordered by (priority, url); the remainder
+stays in the frontier ("deferred"). Pacing is modeled, not slept — the budget
+caps per-host request rate per round.
+
+Skew: one hub host can hold a third of a 10^10-URL frontier, so a single
+``Window.partitionBy(host)`` rank would funnel it through one task. Selection
+is therefore **two-phase top-k**: rank within (host, salt) and keep the local
+top-``budget`` (a guaranteed superset of the global top-``budget``), then
+re-rank the ≤ salt_n×budget survivors per host. Both phases are windows —
+pure Catalyst, no UDFs — and AQE skew-join splitting covers the residual.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+class BatchSelection(NamedTuple):
+    batch: DataFrame  # rows to fetch this round
+    deferred: DataFrame  # over-budget rows that stay in the frontier
+
+
+def _order_cols():
+    return [F.col("priority").asc(), F.col("url").asc()]
+
+
+def select_batch(
+    frontier: DataFrame,
+    host_budget: int | None,
+    salt_n: int = 16,
+) -> BatchSelection:
+    """Pick this round's fetch batch under the per-host budget.
+
+    ``host_budget=None`` fetches the whole frontier (reference hop-crawl mode).
+    Ordering is total and deterministic: (priority, url).
+    """
+    if host_budget is None:
+        return BatchSelection(frontier, frontier.limit(0))
+
+    salted = frontier.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(salt_n)))
+    w1 = Window.partitionBy("host", "_salt").orderBy(*_order_cols())
+    pruned = (
+        salted.withColumn("_rn1", F.row_number().over(w1))
+        .filter(F.col("_rn1") <= host_budget)
+        .drop("_rn1", "_salt")
+    )
+    w2 = Window.partitionBy("host").orderBy(*_order_cols())
+    batch = (
+        pruned.withColumn("_rn2", F.row_number().over(w2))
+        .filter(F.col("_rn2") <= host_budget)
+        .drop("_rn2")
+    )
+    deferred = frontier.join(batch.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti")
+    return BatchSelection(batch, deferred)

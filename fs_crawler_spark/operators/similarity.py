@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (array<float>).
+
+Baseline: brute-force cosine top-k — exact, one shuffle, JVM-side arithmetic
+via higher-order functions (F.zip_with + F.aggregate), no UDF. Scale path:
+LSH-bucketed ANN — random-hyperplane signatures restrict the pair join to
+matching buckets (candidate generation), brute-force re-rank inside buckets.
+
+At 100 TB the brute-force variant is the per-bucket kernel, never the global
+plan; the bucket join is the only shuffle and its key cardinality (2^planes)
+is the recall/cost knob. Deterministic hyperplanes are derived from a seed via
+md5 — no RNG at plan time, reproducible across runs and engines.
+"""
+
+from __future__ import annotations
+
+import hashlib
+import math
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def _norm(a):
+    return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
+
+
+def cosine(a, b):
+    return _dot(a, b) / (_norm(a) * _norm(b))
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Exact top-k neighbors per query by cosine; excludes self-matches.
+
+    Returns (query_id, vec_id, cos [rounded 6dp], rank). The cross join is
+    broadcast on the (small) query side; corpus stays partitioned.
+    """
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
+    )
+    c = embeddings.select(
+        F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("_cvec")
+    )
+    scored = c.crossJoin(F.broadcast(q.withColumn("_qvec", F.col("_qvec").cast("array<double>")))).select(
+        "query_id",
+        "vec_id",
+        F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cos"),
+    ).filter(F.col("query_id") != F.col("vec_id"))
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def _hyperplanes(dim: int, n_planes: int, seed: int = 42) -> list[list[float]]:
+    """Deterministic pseudo-random unit hyperplanes from md5(seed, plane, i)."""
+    planes = []
+    for p in range(n_planes):
+        vec = []
+        for i in range(dim):
+            h = hashlib.md5(f"{seed}:{p}:{i}".encode()).hexdigest()
+            # map 8 hex chars -> [-1, 1)
+            vec.append((int(h[:8], 16) / 2**31) - 1.0)
+        n = math.sqrt(sum(v * v for v in vec)) or 1.0
+        planes.append([v / n for v in vec])
+    return planes
+
+
+def lsh_bucket(vec_col, planes: list[list[float]]):
+    """Random-hyperplane signature: bit p = sign(v · plane_p)."""
+    code = F.lit(0).cast("long")
+    for p, plane in enumerate(planes):
+        dot = _dot(F.col(vec_col).cast("array<double>"), F.array(*[F.lit(x) for x in plane]))
+        code = code + (dot >= 0).cast("long") * F.lit(1 << p)
+    return code
+
+
+def ann_lsh_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """Approximate top-k: candidates share the query's hyperplane bucket,
+    re-ranked by exact cosine. Returns (query_id, vec_id, cos, rank)."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    c = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+        lsh_bucket(vec_col, planes).alias("_bucket"),
+    )
+    q = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qvec"),
+        lsh_bucket(vec_col, planes).alias("_bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), on="_bucket")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
+def embedding_near_dup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.95,
+    n_planes: int = 8,
+    dim: int = 64,
+    seed: int = 42,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold),
+    LSH-bucketed candidate generation + exact cosine verify."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    e = embeddings.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).cast("array<double>").alias("vec"),
+        lsh_bucket(vec_col, planes).alias("_bucket"),
+    )
+    a = e.select("_bucket", F.col("id").alias("id_a"), F.col("vec").alias("va"))
+    b = e.select("_bucket", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    return (
+        a.join(b, on="_bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+        )
+        .filter(F.col("cos") >= threshold)
+    )

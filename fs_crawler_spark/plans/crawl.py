@@ -1,0 +1,305 @@
+"""The crawl loop: BSP rounds over DataFrames (SURVEY.md §3.1 Spark lifecycle).
+
+One reference iteration (fsapi.py:194-222 — frontier swap, 200×40 request
+waves, graph mutation, LOG row) becomes one pure-function Spark round:
+
+    frontier --(politeness window O5)--> batch + deferred
+    batch  ⋈  pages on url             (the "fetch"; join replaces HTTP GET)
+    mapInPandas extract (P1)           -> text + outlinks per fetched page
+    outlinks -> canonicalize/hash (P7) -> robots gate -> anti-join vs seen (F1)
+    new frontier = deferred ∪ fresh candidates (first-write-wins)
+    seen += batch;  vertices/edges/log deltas appended;  ONE snapshot commit
+
+``crawl_round`` is a pure function of (pages, frontier, seen, robots) — that,
+plus the atomic per-round snapshot, is what makes a killed run resume with an
+identical crawl ordering (north_rule). The driver loop is the only imperative
+code; every operator inside a round is declarative DataFrame algebra, so
+Catalyst/AQE choose broadcast-vs-shuffle per round from runtime stats (early
+rounds: tiny batch -> broadcast join against the huge pages table; later
+rounds: shuffled join with skew splitting).
+
+Scale notes (10^10-URL frontier, 1000 executors):
+  * the two shuffles per round are exactly the ones north_rule names — the
+    host-partitioned politeness window (salted two-phase top-k) and the
+    url-keyed seen anti-join (bucketed seen-set => storage-partitioned join
+    under Iceberg; parquet impl models it with shard partitions);
+  * per-round state writes are append-only deltas; nothing rewrites O(seen);
+  * extraction is Arrow-batched and partition-preserving (no shuffle);
+  * lineage is truncated every round by reading state back from the snapshot;
+  * round metrics ride on ``DataFrame.observe`` — collected DURING the commit
+    writes, zero extra jobs per round (the reference's LOG row, A9).
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Any, NamedTuple
+
+from pyspark.sql import DataFrame, Observation, SparkSession
+from pyspark.sql import functions as F
+
+from ..functions.extract import extract_pages
+from ..functions.urls import url_shard
+from ..operators.frontier import (
+    anti_join_seen,
+    as_frontier_rows,
+    dedup_frontier,
+    merge_frontier,
+)
+from ..operators.politeness import select_batch
+from ..operators.robots import robots_gate
+from ..schemas import CRAWL_LOG, UNTYPED_PARENT
+from ..sources.checkpoint import CheckpointStore
+
+
+@dataclass
+class CrawlConfig:
+    max_rounds: int = 8
+    host_budget: int | None = None  # None = fetch whole frontier per round
+    salt_n: int = 16  # politeness two-phase top-k salt width
+    n_shards: int = 32  # seen-set shard count (Iceberg bucket(N) analog)
+    edge_type: str = UNTYPED_PARENT
+    extra: dict[str, Any] = field(default_factory=dict)
+
+
+class RoundPlan(NamedTuple):
+    batch: DataFrame
+    deferred: DataFrame
+    parsed: DataFrame
+    vertices_delta: DataFrame
+    edges_delta: DataFrame
+    seen_delta: DataFrame
+    new_frontier: DataFrame
+    raw_candidates: DataFrame
+    candidates: DataFrame
+
+
+def _obs_count(obs: Observation, fallback: DataFrame) -> int:
+    """Observation value, or a direct count if the JVM metrics row is broken
+    (CollectMetrics over an empty cached subplan can fail toPyRow)."""
+    try:
+        return int(obs.get["n"])
+    except Exception:
+        return fallback.count()
+
+
+def seed_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
+    raw = spark.createDataFrame([(u,) for u in seeds], "url string")
+    return dedup_frontier(as_frontier_rows(raw, discovered_iter=0))
+
+
+def crawl_round(
+    pages: DataFrame,
+    frontier: DataFrame,
+    seen: DataFrame | None,
+    robots: DataFrame | None,
+    round_i: int,
+    cfg: CrawlConfig,
+    observations: dict[str, Observation] | None = None,
+) -> RoundPlan:
+    """One BFS round as a pure function of snapshot state. All lazy.
+
+    ``observations`` (optional) attaches Observation counters to the fetched /
+    edges / candidates / frontier nodes; they fill during whatever action
+    first executes each node (the snapshot writes) — the free metrics path.
+    """
+    obs = observations or {}
+    batch, deferred = select_batch(frontier, cfg.host_budget, cfg.salt_n)
+
+    # "Fetch": join against the corpus. A url missing from pages is the
+    # 404-analog (session.py:137-146 warn-and-continue): it still enters the
+    # seen-set so it is never retried, but produces no vertex.
+    fetched = pages.join(batch.select("url"), on="url", how="inner")
+    parsed = extract_pages(fetched)
+    if "fetched" in obs:
+        parsed = parsed.observe(obs["fetched"], F.count(F.lit(1)).alias("n"))
+
+    vertices_delta = parsed.select(
+        F.col("url").alias("id"),
+        F.lit(0).cast("int").alias("color"),
+        F.lit(None).cast("string").alias("surname"),
+        F.lit(None).cast("string").alias("given_name"),
+        F.lit(round_i).cast("int").alias("iteration"),
+        F.lit(None).cast("string").alias("lifespan"),
+    )
+
+    out_links = parsed.select(
+        F.col("url").alias("source"), F.explode("links").alias("raw_url")
+    )
+    # Within-round first-write-wins (F4); cross-round dedup is structural —
+    # a url is fetched exactly once, so (source, destination) never recurs.
+    edges_delta = (
+        out_links.select(
+            "source",
+            F.col("raw_url").alias("destination"),
+            F.lit(cfg.edge_type).alias("type"),
+            F.lit(None).cast("string").alias("id"),
+        )
+        .groupBy("source", "destination")
+        .agg(F.min("type").alias("type"), F.min("id").alias("id"))
+        .select("source", "destination", "type", "id")
+    )
+    if "edges" in obs:
+        edges_delta = edges_delta.observe(obs["edges"], F.count(F.lit(1)).alias("n"))
+
+    seen_delta = batch.select(
+        "url",
+        "url_hash",
+        "host",
+        F.col("discovered_iter"),
+        url_shard(F.col("url_hash"), cfg.n_shards).alias("shard"),
+    )
+
+    raw_candidates = dedup_frontier(
+        as_frontier_rows(out_links.select(F.col("raw_url").alias("url")), round_i + 1)
+    )
+    if "raw_candidates" in obs:
+        raw_candidates = raw_candidates.observe(
+            obs["raw_candidates"], F.count(F.lit(1)).alias("n")
+        )
+    candidates = robots_gate(raw_candidates, robots)
+    seen_keys = seen_delta.select("url_hash", "url")
+    if seen is not None:
+        seen_keys = seen.select("url_hash", "url").unionByName(seen_keys)
+    candidates = anti_join_seen(candidates, seen_keys)
+    if "candidates" in obs:
+        candidates = candidates.observe(obs["candidates"], F.count(F.lit(1)).alias("n"))
+    new_frontier = merge_frontier(deferred, candidates)
+    if "frontier" in obs:
+        new_frontier = new_frontier.observe(obs["frontier"], F.count(F.lit(1)).alias("n"))
+
+    return RoundPlan(
+        batch,
+        deferred,
+        parsed,
+        vertices_delta,
+        edges_delta,
+        seen_delta,
+        new_frontier,
+        raw_candidates,
+        candidates,
+    )
+
+
+def run_crawl(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: list[str],
+    checkpoint_dir: str,
+    cfg: CrawlConfig | None = None,
+    robots: DataFrame | None = None,
+) -> dict[str, Any]:
+    """Resumable driver loop: one snapshot commit per round until the frontier
+    is exhausted or ``cfg.max_rounds`` is hit. Returns run totals."""
+    cfg = cfg or CrawlConfig()
+    store = CheckpointStore(checkpoint_dir)
+
+    latest = store.latest_round()
+    if latest is not None:
+        frontier = store.read(spark, latest, "frontier")
+        seen = store.read_union(spark, "seen", up_to_round=latest)
+        start_round = latest + 1
+    else:
+        frontier = seed_frontier(spark, seeds)
+        seen = None
+        start_round = 0
+
+    rounds_run = 0
+    total_fetched = 0
+    urls_in: int | None = None  # carried from the previous round's observation
+    for round_i in range(start_round, cfg.max_rounds):
+        t0 = time.monotonic()
+        if urls_in is None:
+            urls_in = frontier.count()
+        if urls_in == 0:
+            break
+
+        obs = {
+            name: Observation(f"{name}_{round_i}")
+            for name in ("fetched", "edges", "raw_candidates", "candidates", "frontier")
+        }
+        plan = crawl_round(pages, frontier, seen, robots, round_i, cfg, obs)
+        parsed = plan.parsed.persist()
+        batch = plan.batch.persist()
+
+        # Per-partition lineage (north_rule): rows per partition of this
+        # round's fetch batch (the politeness-window output layout).
+        part_rows = (
+            batch.select(F.spark_partition_id().alias("pid"))
+            .groupBy("pid")
+            .count()
+            .collect()
+        )
+        batch_n = sum(int(r["count"]) for r in part_rows)
+        snapshot_id = time.time_ns()
+
+        # The commit writes are the actions that fill every observation.
+        store.commit(
+            round_i,
+            {
+                "frontier": plan.new_frontier,
+                "seen": plan.seen_delta,
+                "vertices": plan.vertices_delta,
+                "edges": plan.edges_delta,
+            },
+            meta={"urls_in": urls_in, "batch_n": batch_n},
+            partition_by={"seen": ["shard"]},
+        )
+        urls_fetched = _obs_count(obs["fetched"], plan.parsed)
+        n_edges = _obs_count(obs["edges"], plan.edges_delta)
+        n_frontier_next = _obs_count(obs["frontier"], plan.new_frontier)
+        n_raw_candidates = _obs_count(obs["raw_candidates"], plan.raw_candidates)
+        n_candidates = _obs_count(obs["candidates"], plan.candidates)
+        urls_deduped = max(0, n_raw_candidates - n_candidates)
+        duration = time.monotonic() - t0
+
+        log_rows = [
+            (round_i, int(r["pid"]), float(duration), 0, 0, 0, int(r["count"]), 0, 0, snapshot_id)
+            for r in part_rows
+        ]
+        log_rows.append(
+            (
+                round_i,
+                -1,
+                float(duration),
+                int(urls_fetched),
+                int(n_frontier_next),
+                int(n_edges),
+                int(batch_n),
+                int(urls_fetched),
+                int(urls_deduped),
+                snapshot_id,
+            )
+        )
+        crawl_log = spark.createDataFrame(log_rows, CRAWL_LOG)
+        crawl_log.write.mode("overwrite").parquet(
+            f"{store._round_dir(round_i)}/crawl_log"
+        )
+
+        parsed.unpersist()
+        batch.unpersist()
+
+        # Lineage truncation + exact resume equivalence: next round reads the
+        # committed snapshot, not in-memory lineage.
+        frontier = store.read(spark, round_i, "frontier")
+        seen = store.read_union(spark, "seen", up_to_round=round_i)
+        urls_in = n_frontier_next
+        rounds_run += 1
+        total_fetched += urls_fetched
+
+    return {
+        "rounds": rounds_run,
+        "start_round": start_round,
+        "total_fetched": total_fetched,
+        "store": store,
+    }
+
+
+def read_output(spark: SparkSession, checkpoint_dir: str, name: str) -> DataFrame:
+    """Union view over an append table's committed deltas."""
+    store = CheckpointStore(checkpoint_dir)
+    df = store.read_union(spark, name)
+    if df is None:
+        raise FileNotFoundError(f"no committed '{name}' deltas under {checkpoint_dir}")
+    return df

@@ -1,0 +1,126 @@
+"""Snapshot checkpoint store — the parquet implementation of the Iceberg
+commit model (SURVEY.md S4/S5, north_rule "resumable from checkpoint").
+
+Production target is Iceberg: one snapshot commit per crawl round, seen-set as
+a ``bucket(N, url)``-partitioned table, resume = read the last committed
+snapshot. The sandbox has no Iceberg runtime jar, so this store reproduces the
+same semantics on plain parquet:
+
+  * per round, every table is written to a staging dir and then **atomically
+    published** by a directory rename + a MANIFEST.json written last;
+  * append-only tables (seen, vertices, edges, crawl_log) are stored as
+    per-round deltas and read as a union — the Iceberg append analog;
+  * replace tables (frontier) are stored whole per round;
+  * resume state = greatest round with a manifest; a killed run that never
+    published round r resumes from r-1 with byte-identical continuation
+    because `crawl_round` is a pure function of the snapshot state.
+
+Checkpointing each round also truncates DataFrame lineage — mandatory for an
+iterative Spark algorithm (otherwise plans grow unboundedly across rounds).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import time
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession
+
+APPEND_TABLES = ("seen", "vertices", "edges", "crawl_log")
+MANIFEST = "MANIFEST.json"
+
+
+class CheckpointStore:
+    def __init__(self, root: str) -> None:
+        self.root = root
+        os.makedirs(os.path.join(root, "snapshots"), exist_ok=True)
+
+    # -- paths -------------------------------------------------------------
+    def _round_dir(self, round_i: int) -> str:
+        return os.path.join(self.root, "snapshots", f"round={round_i}")
+
+    def _staging_dir(self, round_i: int) -> str:
+        return os.path.join(self.root, "_staging", f"round={round_i}")
+
+    # -- write path ---------------------------------------------------------
+    def commit(
+        self,
+        round_i: int,
+        tables: dict[str, DataFrame],
+        meta: dict[str, Any] | None = None,
+        partition_by: dict[str, list[str]] | None = None,
+    ) -> int:
+        """Write all tables to staging, then publish atomically. Returns a
+        snapshot id (ns timestamp) recorded in the manifest."""
+        staging = self._staging_dir(round_i)
+        if os.path.exists(staging):
+            shutil.rmtree(staging)
+        counts: dict[str, int] = {}
+        for name, df in tables.items():
+            writer = df.write.mode("overwrite")
+            pb = (partition_by or {}).get(name)
+            if pb:
+                writer = writer.partitionBy(*pb)
+            writer.parquet(os.path.join(staging, name))
+        snapshot_id = time.time_ns()
+        manifest = {
+            "round": round_i,
+            "snapshot_id": snapshot_id,
+            "tables": sorted(tables),
+            "meta": meta or {},
+        }
+        final = self._round_dir(round_i)
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.rename(staging, final)
+        tmp = os.path.join(final, MANIFEST + ".tmp")
+        with open(tmp, "w") as f:
+            json.dump(manifest, f, indent=2)
+        os.rename(tmp, os.path.join(final, MANIFEST))
+        return snapshot_id
+
+    # -- read path ----------------------------------------------------------
+    def committed_rounds(self) -> list[int]:
+        snap_root = os.path.join(self.root, "snapshots")
+        rounds = []
+        for d in os.listdir(snap_root):
+            if d.startswith("round=") and os.path.exists(
+                os.path.join(snap_root, d, MANIFEST)
+            ):
+                rounds.append(int(d.split("=", 1)[1]))
+        return sorted(rounds)
+
+    def latest_round(self) -> int | None:
+        rounds = self.committed_rounds()
+        return rounds[-1] if rounds else None
+
+    def manifest(self, round_i: int) -> dict[str, Any]:
+        with open(os.path.join(self._round_dir(round_i), MANIFEST)) as f:
+            return json.load(f)
+
+    def read(self, spark: SparkSession, round_i: int, name: str) -> DataFrame:
+        return spark.read.parquet(os.path.join(self._round_dir(round_i), name))
+
+    def read_union(
+        self, spark: SparkSession, name: str, up_to_round: int | None = None
+    ) -> DataFrame | None:
+        """Union of an append-table's per-round deltas (Iceberg-append analog)."""
+        paths = []
+        for r in self.committed_rounds():
+            if up_to_round is not None and r > up_to_round:
+                continue
+            p = os.path.join(self._round_dir(r), name)
+            if os.path.exists(p):
+                paths.append(p)
+        if not paths:
+            return None
+        # Read per-round and union (multi-path reads fight partition-dir
+        # discovery when a table is itself partitioned, e.g. seen/shard=N).
+        dfs = [spark.read.parquet(p) for p in paths]
+        out = dfs[0]
+        for df in dfs[1:]:
+            out = out.unionByName(df)
+        return out

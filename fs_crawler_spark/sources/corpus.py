@@ -1,0 +1,117 @@
+"""Deterministic synthetic `pages` corpus.
+
+The reference crawls a live HTTP API (fsapi.py:136-137); this engine crawls an
+Iceberg/parquet table of Common-Crawl-style pages (BASELINE.json input_hint).
+For tests and benchmarks the corpus is derived 1:1 from the driver-provided
+``documents.parquet`` table with a **pure-arithmetic outlink DAG**, so an
+independent DuckDB recursive-CTE oracle can recompute the exact BFS answer
+(url -> iteration) from the same table. No external data, fixed rules:
+
+With N = row count and d = doc_id (contiguous 0..N-1):
+  host(d)  = 'hub.example.com'            if d % 3 == 0   (skewed hot host)
+           = 'src{d % 7}.example.com'     otherwise
+  url(d)   = 'https://' + host(d) + '/doc/' + d
+  children(d) = [2d+1 if < N,  2d+2 if < N,  (7d+3) % N if != d]
+                 (binary-tree BFS layers + a cross link that creates the
+                  dedup/cycle cases the seen-set anti-join must handle)
+  text(d)  = documents.text  (the byte-identical extraction target)
+  html(d)  = '<html><head><title>doc {d}</title></head><body><p>{text}</p>'
+             + '<a href="{child_url}">link</a>' per child + '</body></html>'
+  warc_ts  = 2025-01-01T00:00:00Z + d seconds;  lang = documents.lang
+
+The hub host holds ~N/3 of all URLs — the familysearch.org-scale skew analog
+demanded by BASELINE.json north_star; the politeness window + salting operators
+are exercised against it.
+
+Everything below is built-in Column expressions — corpus synthesis itself is
+JVM-side and scales to any N.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+BASE_TS = "2025-01-01 00:00:00"
+HUB_HOST = "hub.example.com"
+
+
+def _host_expr(d):
+    return F.when(d % 3 == 0, F.lit(HUB_HOST)).otherwise(
+        F.concat(F.lit("src"), (d % 7).cast("string"), F.lit(".example.com"))
+    )
+
+
+def _url_expr(d):
+    return F.concat(F.lit("https://"), _host_expr(d), F.lit("/doc/"), d.cast("string"))
+
+
+def doc_url(doc_id: int) -> str:
+    """Driver-side mirror of ``_url_expr`` (for seed lists / assertions)."""
+    host = HUB_HOST if doc_id % 3 == 0 else f"src{doc_id % 7}.example.com"
+    return f"https://{host}/doc/{doc_id}"
+
+
+def build_pages(spark: SparkSession, sf_dir: str, limit_docs: int | None = None) -> DataFrame:
+    """documents.parquet -> pages DataFrame (schemas.PAGES).
+
+    ``limit_docs`` keeps only doc_id < limit and shrinks the link universe to
+    match (n := limit), producing a smaller self-consistent corpus for fast
+    golden tests. Default: the full table.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if limit_docs is not None:
+        docs = docs.filter(F.col("doc_id") < limit_docs)
+    n = docs.count()
+    d = F.col("doc_id")
+    children = F.array(
+        F.when(d * 2 + 1 < n, _url_expr(d * 2 + 1)),
+        F.when(d * 2 + 2 < n, _url_expr(d * 2 + 2)),
+        F.when((d * 7 + 3) % n != d, _url_expr((d * 7 + 3) % n)),
+    )
+    links = F.filter(children, lambda x: x.isNotNull())
+    anchors = F.concat_ws(
+        "", F.transform(links, lambda x: F.concat(F.lit('<a href="'), x, F.lit('">link</a>')))
+    )
+    html = F.concat(
+        F.lit("<html><head><title>doc "),
+        d.cast("string"),
+        F.lit("</title></head><body><p>"),
+        F.col("text"),
+        F.lit("</p>"),
+        anchors,
+        F.lit("</body></html>"),
+    )
+    return docs.select(
+        _url_expr(d).alias("url"),
+        (F.to_timestamp(F.lit(BASE_TS)) + F.make_interval(secs=d.cast("decimal(18,6)"))).alias(
+            "warc_ts"
+        ),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
+def oracle_edges_sql(max_n: str = "(SELECT count(*) FROM documents)") -> str:
+    """DuckDB CTE body reconstructing the same outlink edges from documents.
+
+    Returned string defines CTEs ``params(n)`` and ``links(src, dst)`` over the
+    pre-registered ``documents`` view; callers append their own SELECT.
+    """
+    return f"""
+params AS (SELECT {max_n} AS n),
+links AS (
+    SELECT doc_id AS src, doc_id * 2 + 1 AS dst FROM documents, params WHERE doc_id * 2 + 1 < n
+    UNION ALL
+    SELECT doc_id, doc_id * 2 + 2 FROM documents, params WHERE doc_id * 2 + 2 < n
+    UNION ALL
+    SELECT doc_id, (doc_id * 7 + 3) % n FROM documents, params WHERE (doc_id * 7 + 3) % n != doc_id
+),
+urls AS (
+    SELECT doc_id AS d,
+           'https://' || CASE WHEN doc_id % 3 = 0 THEN 'hub.example.com'
+                              ELSE 'src' || (doc_id % 7) || '.example.com' END
+                      || '/doc/' || doc_id AS url
+    FROM documents
+)"""

@@ -1,0 +1,117 @@
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from fs_crawler_spark.functions.textfns import (
+    bpe_token_count,
+    doc_fingerprint,
+    lang_id,
+    quality_score,
+    text_sha,
+    token_count,
+)
+from fs_crawler_spark.operators.dedup import (
+    exact_dup_groups,
+    minhash_lsh_pairs,
+    simhash_dup_groups,
+    token_jaccard_pairs,
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet").cache()
+
+
+def test_token_counts_match_duckdb(spark, docs, sf_dir):
+    got = {
+        r["doc_id"]: (r["tc"], r["bc"])
+        for r in docs.select(
+            "doc_id",
+            token_count(F.col("text")).alias("tc"),
+            bpe_token_count(F.col("text")).alias("bc"),
+        ).collect()
+    }
+    want = {
+        row[0]: (row[1], row[2])
+        for row in duckdb.sql(
+            f"""
+            SELECT doc_id,
+                   len(list_filter(string_split_regex(trim(lower(text)), '\\s+'), t -> t != '')) AS tc,
+                   len(regexp_extract_all(text, '[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]')) AS bc
+            FROM '{sf_dir}/documents.parquet'
+            """
+        ).fetchall()
+    }
+    assert got == want
+
+
+def test_exact_dedup_and_sha(spark, docs):
+    # construct a frame with known duplicates
+    dup = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b c"), (3, "x y"), (4, "a b c"), (5, "x z")],
+        "doc_id long, text string",
+    )
+    groups = {r["sha"]: (r["n_docs"], r["keeper_id"]) for r in exact_dup_groups(dup).collect()}
+    assert len(groups) == 1
+    ((n, keeper),) = groups.values()
+    assert (n, keeper) == (3, 1)
+    # md5 agrees with duckdb
+    s = dup.select(text_sha(F.col("text")).alias("s")).limit(1).collect()[0]["s"]
+    assert s == duckdb.sql("select md5('a b c')").fetchone()[0]
+
+
+def test_token_jaccard_pairs(spark):
+    df = spark.createDataFrame(
+        [
+            (1, "the quick brown fox"),
+            (2, "the quick brown fox jumps"),
+            (3, "entirely different words here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r["id_a"], r["id_b"]): r["jaccard"] for r in token_jaccard_pairs(df, 0.5).collect()}
+    assert set(pairs) == {(1, 2)}
+    assert pairs[(1, 2)] == 0.8  # 4 / 5
+
+
+def test_minhash_lsh_finds_near_dups(spark):
+    base = "w%d " * 30
+    rows = [
+        (1, (base % tuple(range(30))).strip()),
+        (2, (base % tuple(range(30))).strip() + " extra"),  # near dup of 1
+        (3, ("z%d " * 30 % tuple(range(30))).strip()),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]) for r in minhash_lsh_pairs(df, threshold=0.5).collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
+
+
+def test_simhash_identical_texts_group(spark):
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma"), (2, "alpha beta gamma"), (3, "delta epsilon")],
+        "doc_id long, text string",
+    )
+    groups = simhash_dup_groups(df).collect()
+    assert len(groups) == 1
+    assert groups[0]["n_docs"] == 2 and groups[0]["keeper_id"] == 1
+
+
+def test_quality_langid_fingerprint_deterministic(spark, docs):
+    out1 = docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lang"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    out2 = docs.select(
+        "doc_id",
+        quality_score(F.col("text")).alias("q"),
+        lang_id(F.col("text")).alias("lang"),
+        doc_fingerprint(F.col("text")).alias("fp"),
+    ).collect()
+    assert sorted(map(tuple, out1)) == sorted(map(tuple, out2))
+    qs = [r["q"] for r in out1]
+    assert all(0.0 <= q <= 1.0 for q in qs)
+    assert {r["lang"] for r in out1} <= {"en", "de", "es", "fr", "und"}
