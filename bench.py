@@ -1,0 +1,100 @@
+"""Benchmark harness — one JSON line on stdout.
+
+Headline metric (BASELINE.json): URLs fetched+deduped/sec, crawl rounds to
+frontier exhaustion, on the synthetic Common-Crawl-style corpus derived from
+$SPARK_GRAFT_SF_DIR/documents.parquet, with the politeness budget active.
+Secondary: wall seconds for each headline operator family.
+
+Env:
+  SPARK_GRAFT_SF_DIR  corpus dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS    local[...] cores (default 32)
+
+Scaling-efficiency evidence (N vs 4N cores) is produced by
+BENCH/run_scaling.py, which invokes this file at two parallelism levels.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    sf = sf_dir.rstrip("/").split("sf")[-1]
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    import __spark_entry__ as entry_mod
+    from fs_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from fs_crawler_spark.session import get_spark
+    from fs_crawler_spark.sources.corpus import build_pages, doc_url
+
+    spark = get_spark(app_name="fs-crawler-bench", cores=cpus)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    timings: dict[str, float] = {}
+
+    # -- headline: budgeted crawl to frontier exhaustion --------------------
+    pages = build_pages(spark, sf_dir).persist()
+    pages.count()  # materialize corpus outside the timed section
+    ckpt = tempfile.mkdtemp(prefix="bench_crawl_")
+    t0 = time.monotonic()
+    res = run_crawl(
+        spark,
+        pages,
+        [doc_url(0)],
+        ckpt,
+        CrawlConfig(max_rounds=200, host_budget=500),
+    )
+    crawl_sec = time.monotonic() - t0
+    timings["crawl_exhaustion"] = round(crawl_sec, 3)
+    urls_per_sec = res["total_fetched"] / crawl_sec if crawl_sec > 0 else 0.0
+    shutil.rmtree(ckpt, ignore_errors=True)
+    pages.unpersist()
+
+    # -- secondary operator families ----------------------------------------
+    qs = entry_mod.queries()
+    for name in (
+        "tpch_q1",
+        "nation_revenue",
+        "link_edges",
+        "politeness_window",
+        "resolution_rule",
+        "doc_stats",
+        "doc_fingerprint",
+        "token_jaccard",
+        "minhash_lsh",
+        "simhash",
+        "ann_topk",
+        "emb_near_dup",
+        "events_last_per_user",
+    ):
+        t0 = time.monotonic()
+        n = qs[name](spark, sf_dir).count()
+        timings[name] = round(time.monotonic() - t0, 3)
+        _ = n
+
+    out = {
+        "metric": "crawl_urls_fetched_deduped_per_sec",
+        "value": round(urls_per_sec, 2),
+        "unit": "urls/sec",
+        "queries": timings,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "cpus": cpus,
+        "crawl": {
+            "rounds": res["rounds"],
+            "total_fetched": res["total_fetched"],
+            "seconds": round(crawl_sec, 3),
+            "host_budget": 500,
+        },
+    }
+    print(json.dumps(out))
+
+
+if __name__ == "__main__":
+    main()

@@ -58,3 +58,54 @@ def extract_pages(fetched: DataFrame) -> DataFrame:
     processing explodes ``links`` JVM-side.
     """
     return fetched.select("url", "html").mapInPandas(_extract_batches, schema=EXTRACTED)
+
+
+# ---------------------------------------------------------------------------
+# Persons mode (genealogy parity): html embeds a JSON person record
+# (reference analog: GedcomX persons JSON parse, fsapi.py:146-161 +
+# name/gender/lifespan parts individual.py:41-57, name.py:6-16).
+# ---------------------------------------------------------------------------
+_JSON_RE = re.compile(
+    rb'<script type="application/json">(.*?)</script>', re.DOTALL
+)
+
+
+def _extract_person_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import json
+
+    for pdf in batches:
+        rows = {
+            "url": pdf["url"],
+            "text": [],
+            "color": [],
+            "surname": [],
+            "given_name": [],
+            "lifespan": [],
+            "parents": [],
+            "couples": [],
+        }
+        for h in pdf["html"]:
+            rows["text"].append(extract_text_bytes(h))
+            m = _JSON_RE.search(h) if h is not None else None
+            if m is None:
+                rec = {}
+            else:
+                rec = json.loads(m.group(1).decode("utf-8"))
+            rows["color"].append(rec.get("color"))
+            rows["surname"].append(rec.get("surname"))
+            rows["given_name"].append(rec.get("given"))
+            rows["lifespan"].append(rec.get("lifespan"))
+            rows["parents"].append(
+                [(p["url"], p["rel_id"]) for p in rec.get("parents", [])]
+            )
+            rows["couples"].append(rec.get("couples", []))
+        yield pd.DataFrame(rows)
+
+
+def extract_persons(fetched: DataFrame) -> DataFrame:
+    """(url, html) -> person record + parent rels + couple links."""
+    from ..schemas import PERSON_EXTRACTED
+
+    return fetched.select("url", "html").mapInPandas(
+        _extract_person_batches, schema=PERSON_EXTRACTED
+    )

@@ -87,6 +87,28 @@ def build_bloom_shards(
     return {int(r["shard"]): (bytes(r["bits"]), m, k) for r in shards}
 
 
+def merge_bloom_shards(
+    a: dict[int, tuple[bytes, int, int]] | None,
+    b: dict[int, tuple[bytes, int, int]],
+) -> dict[int, tuple[bytes, int, int]]:
+    """Bitwise-OR per-shard bitmaps (incremental build: OR each round's delta
+    into the accumulated filter; all blobs share (m, k))."""
+    if a is None:
+        return dict(b)
+    out = dict(a)
+    for shard, (bits, m, k) in b.items():
+        if shard in out:
+            obits, om, ok = out[shard]
+            assert (om, ok) == (m, k), "bloom params must match to merge"
+            merged = (
+                np.frombuffer(obits, dtype=np.uint8) | np.frombuffer(bits, dtype=np.uint8)
+            ).tobytes()
+            out[shard] = (merged, m, k)
+        else:
+            out[shard] = (bits, m, k)
+    return out
+
+
 def bloom_prefilter(
     spark: SparkSession,
     candidates: DataFrame,

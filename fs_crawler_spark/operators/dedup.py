@@ -152,44 +152,64 @@ def minhash_lsh_pairs(
     """Near-dup pairs via banded MinHash-LSH, verified with exact shingle
     Jaccard (so the output has no false positives; recall is the LSH knob).
 
-    Plan shape: signature (no shuffle) -> explode bands -> groupBy band-bucket
-    (shuffle on band hash) -> pairs within buckets -> exact verify join.
+    Plan shape: shingle+signature projections are PERSISTED barriers —
+    without them Catalyst's projection collapse inlines the 16-way minhash
+    expression into every band column and recomputes it per band (measured
+    ~10x slowdown). Bands explode -> self-join on (band, bucket) carrying only
+    ids -> candidate pairs -> exact-Jaccard verify by joining the shingle sets
+    back by id. Shuffles: band-bucket join + two id joins, all narrow keys.
     Returns (id_a, id_b, jaccard).
     """
     rows_per_band = num_hashes // bands
-    sig = docs.select(
+    base = docs.select(
         F.col(id_col).alias("id"),
-        minhash_signature(text_col, num_hashes, shingle).alias("sig"),
-        F.array_distinct(_shingle_hashes(text_col, shingle)).alias("shingles"),
-    )
-    banded = sig.select(
+        _shingle_hashes(text_col, shingle).alias("shingles"),
+    ).persist()
+    sigs = base.select(
         "id",
-        "shingles",
+        F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        "shingles", lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s))
+                    )
+                )
+                for j in range(num_hashes)
+            ]
+        ).alias("sig"),
+    ).persist()
+    # band index is folded into the bucket hash so distinct bands never
+    # collide into one bucket key (keeps the candidate set identical to the
+    # (band, bucket)-keyed formulation and its SQL oracle)
+    banded = sigs.select(
+        "id",
         F.explode(
             F.array(
                 *[
-                    F.struct(
-                        F.lit(b).alias("band"),
-                        F.md5(
-                            F.concat_ws(
-                                "|", F.slice("sig", b * rows_per_band + 1, rows_per_band)
-                            )
-                        ).alias("bucket"),
+                    F.md5(
+                        F.concat_ws(
+                            "|",
+                            F.lit(str(b)),
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                        )
                     )
                     for b in range(bands)
                 ]
             )
-        ).alias("bb"),
-    ).select("id", "shingles", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket"))
-
-    a = banded.select("band", "bucket", F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    b = banded.select("band", "bucket", F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
-    cand = (
-        a.join(b, on=["band", "bucket"])
-        .filter(F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", "sh_a", "sh_b")
-        .dropDuplicates(["id_a", "id_b"])
+        ).alias("bucket"),
     )
+    a = banded.select(F.col("bucket"), F.col("id").alias("id_a"))
+    b = banded.select(F.col("bucket"), F.col("id").alias("id_b"))
+    cand = (
+        a.join(b, on="bucket")
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+    )
+    sets = base.select("id", F.array_distinct("shingles").alias("sh"))
+    cand = cand.join(
+        sets.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a")), "id_a"
+    ).join(sets.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b")), "id_b")
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
     return (

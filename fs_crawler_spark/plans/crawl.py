@@ -39,7 +39,7 @@ from typing import Any, NamedTuple
 from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
-from ..functions.extract import extract_pages
+from ..functions.extract import extract_pages, extract_persons
 from ..functions.urls import url_shard
 from ..operators.frontier import (
     anti_join_seen,
@@ -60,6 +60,9 @@ class CrawlConfig:
     salt_n: int = 16  # politeness two-phase top-k salt width
     n_shards: int = 32  # seen-set shard count (Iceberg bucket(N) analog)
     edge_type: str = UNTYPED_PARENT
+    mode: str = "web"  # "web" (href links) | "persons" (GedcomX-parity JSON)
+    use_bloom: bool = False  # advisory seen-set pre-filter (correctness-free)
+    bloom_expected_per_shard: int = 100_000
     extra: dict[str, Any] = field(default_factory=dict)
 
 
@@ -97,6 +100,7 @@ def crawl_round(
     round_i: int,
     cfg: CrawlConfig,
     observations: dict[str, Observation] | None = None,
+    bloom_shards: dict | None = None,
 ) -> RoundPlan:
     """One BFS round as a pure function of snapshot state. All lazy.
 
@@ -111,45 +115,84 @@ def crawl_round(
     # 404-analog (session.py:137-146 warn-and-continue): it still enters the
     # seen-set so it is never retried, but produces no vertex.
     fetched = pages.join(batch.select("url"), on="url", how="inner")
-    parsed = extract_pages(fetched)
-    if "fetched" in obs:
-        parsed = parsed.observe(obs["fetched"], F.count(F.lit(1)).alias("n"))
 
-    vertices_delta = parsed.select(
-        F.col("url").alias("id"),
-        F.lit(0).cast("int").alias("color"),
-        F.lit(None).cast("string").alias("surname"),
-        F.lit(None).cast("string").alias("given_name"),
-        F.lit(round_i).cast("int").alias("iteration"),
-        F.lit(None).cast("string").alias("lifespan"),
-    )
-
-    out_links = parsed.select(
-        F.col("url").alias("source"), F.explode("links").alias("raw_url")
-    )
-    # Within-round first-write-wins (F4); cross-round dedup is structural —
-    # a url is fetched exactly once, so (source, destination) never recurs.
-    edges_delta = (
-        out_links.select(
-            "source",
-            F.col("raw_url").alias("destination"),
-            F.lit(cfg.edge_type).alias("type"),
-            F.lit(None).cast("string").alias("id"),
+    if cfg.mode == "persons":
+        parsed = extract_persons(fetched)
+        if "fetched" in obs:
+            parsed = parsed.observe(obs["fetched"], F.count(F.lit(1)).alias("n"))
+        vertices_delta = parsed.select(
+            F.col("url").alias("id"),
+            F.col("color"),
+            F.col("surname"),
+            F.col("given_name"),
+            F.lit(round_i).cast("int").alias("iteration"),
+            F.col("lifespan"),
         )
-        .groupBy("source", "destination")
-        .agg(F.min("type").alias("type"), F.min("id").alias("id"))
-        .select("source", "destination", "type", "id")
-    )
+        parent_links = parsed.select(
+            F.col("url").alias("source"), F.explode("parents").alias("p")
+        ).select("source", F.col("p.url").alias("raw_url"), F.col("p.rel_id").alias("rel_id"))
+        # child->parent edges carry the childAndParents rel id (shared by both
+        # parent edges of one rel, fsapi.py:140-143); first-write-wins = min.
+        edges_delta = (
+            parent_links.select(
+                "source",
+                F.col("raw_url").alias("destination"),
+                F.lit(UNTYPED_PARENT).alias("type"),
+                F.col("rel_id").alias("id"),
+            )
+            .groupBy("source", "destination")
+            .agg(F.min("type").alias("type"), F.min("id").alias("id"))
+            .select("source", "destination", "type", "id")
+        )
+        # Couple partners reach the frontier but emit no edge (F6,
+        # fsapi.py:151-155).
+        out_links = parent_links.select("source", "raw_url").unionByName(
+            parsed.select(
+                F.col("url").alias("source"), F.explode("couples").alias("raw_url")
+            )
+        )
+    else:
+        parsed = extract_pages(fetched)
+        if "fetched" in obs:
+            parsed = parsed.observe(obs["fetched"], F.count(F.lit(1)).alias("n"))
+        vertices_delta = parsed.select(
+            F.col("url").alias("id"),
+            F.lit(0).cast("int").alias("color"),
+            F.lit(None).cast("string").alias("surname"),
+            F.lit(None).cast("string").alias("given_name"),
+            F.lit(round_i).cast("int").alias("iteration"),
+            F.lit(None).cast("string").alias("lifespan"),
+        )
+        out_links = parsed.select(
+            F.col("url").alias("source"), F.explode("links").alias("raw_url")
+        )
+        # Within-round first-write-wins (F4); cross-round dedup is structural —
+        # a url is fetched exactly once, so (source, destination) never recurs.
+        edges_delta = (
+            out_links.select(
+                "source",
+                F.col("raw_url").alias("destination"),
+                F.lit(cfg.edge_type).alias("type"),
+                F.lit(None).cast("string").alias("id"),
+            )
+            .groupBy("source", "destination")
+            .agg(F.min("type").alias("type"), F.min("id").alias("id"))
+            .select("source", "destination", "type", "id")
+        )
     if "edges" in obs:
         edges_delta = edges_delta.observe(obs["edges"], F.count(F.lit(1)).alias("n"))
 
+    # One shuffle partition per shard -> exactly one file per shard dir in
+    # the snapshot (the parquet stand-in for Iceberg's bucket(N, url) layout;
+    # without this, |batch partitions| x |shards| tiny files accrete and the
+    # per-round seen read becomes listing-bound).
     seen_delta = batch.select(
         "url",
         "url_hash",
         "host",
         F.col("discovered_iter"),
         url_shard(F.col("url_hash"), cfg.n_shards).alias("shard"),
-    )
+    ).repartition(cfg.n_shards, F.col("shard"))
 
     raw_candidates = dedup_frontier(
         as_frontier_rows(out_links.select(F.col("raw_url").alias("url")), round_i + 1)
@@ -162,7 +205,25 @@ def crawl_round(
     seen_keys = seen_delta.select("url_hash", "url")
     if seen is not None:
         seen_keys = seen.select("url_hash", "url").unionByName(seen_keys)
-    candidates = anti_join_seen(candidates, seen_keys)
+    if bloom_shards:
+        # Advisory pre-prune: candidates the filter says are definitely-new
+        # skip the exact anti-join; "maybe seen" rows still go through it, so
+        # correctness never depends on the false-positive rate. The filter
+        # covers rounds < round_i; this round's batch is always probed exactly.
+        from ..operators.bloom import bloom_prefilter
+
+        spark = frontier.sparkSession
+        flags = bloom_prefilter(spark, candidates, bloom_shards, cfg.n_shards)
+        candidates = candidates.join(flags, on=["url_hash", "url"], how="inner")
+        definite_new = candidates.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe_seen = candidates.filter(F.col("maybe_seen")).drop("maybe_seen")
+        candidates = definite_new.unionByName(
+            anti_join_seen(maybe_seen, seen_keys)
+        )
+        # definite-new rows still must not collide with THIS round's batch
+        candidates = anti_join_seen(candidates, seen_delta.select("url_hash", "url"))
+    else:
+        candidates = anti_join_seen(candidates, seen_keys)
     if "candidates" in obs:
         candidates = candidates.observe(obs["candidates"], F.count(F.lit(1)).alias("n"))
     new_frontier = merge_frontier(deferred, candidates)
@@ -205,6 +266,14 @@ def run_crawl(
         seen = None
         start_round = 0
 
+    bloom_shards: dict | None = None
+    if cfg.use_bloom and seen is not None:
+        from ..operators.bloom import build_bloom_shards
+
+        bloom_shards = build_bloom_shards(
+            seen, cfg.n_shards, cfg.bloom_expected_per_shard
+        )
+
     rounds_run = 0
     total_fetched = 0
     urls_in: int | None = None  # carried from the previous round's observation
@@ -219,7 +288,9 @@ def run_crawl(
             name: Observation(f"{name}_{round_i}")
             for name in ("fetched", "edges", "raw_candidates", "candidates", "frontier")
         }
-        plan = crawl_round(pages, frontier, seen, robots, round_i, cfg, obs)
+        plan = crawl_round(
+            pages, frontier, seen, robots, round_i, cfg, obs, bloom_shards
+        )
         parsed = plan.parsed.persist()
         batch = plan.batch.persist()
 
@@ -284,6 +355,15 @@ def run_crawl(
         # committed snapshot, not in-memory lineage.
         frontier = store.read(spark, round_i, "frontier")
         seen = store.read_union(spark, "seen", up_to_round=round_i)
+        if cfg.use_bloom:
+            from ..operators.bloom import build_bloom_shards, merge_bloom_shards
+
+            delta_blobs = build_bloom_shards(
+                store.read(spark, round_i, "seen"),
+                cfg.n_shards,
+                cfg.bloom_expected_per_shard,
+            )
+            bloom_shards = merge_bloom_shards(bloom_shards, delta_blobs)
         urls_in = n_frontier_next
         rounds_run += 1
         total_fetched += urls_fetched

@@ -118,6 +118,31 @@ EXTRACTED = StructType(
     ]
 )
 
+# Persons-mode extraction output (P1/P2: persons JSON -> Individual + rels).
+PERSON_EXTRACTED = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("text", StringType(), True),
+        StructField("color", IntegerType(), True),
+        StructField("surname", StringType(), True),
+        StructField("given_name", StringType(), True),
+        StructField("lifespan", StringType(), True),
+        StructField(
+            "parents",
+            ArrayType(
+                StructType(
+                    [
+                        StructField("url", StringType(), False),
+                        StructField("rel_id", StringType(), False),
+                    ]
+                )
+            ),
+            True,
+        ),
+        StructField("couples", ArrayType(StringType()), True),
+    ]
+)
+
 # RelationshipType enum values (relationship_types.py:15-27).
 UNTYPED_PARENT = "UntypedParent"
 ASSUMED_BIOLOGICAL = "AssumedBiological"

@@ -58,13 +58,22 @@ class CheckpointStore:
         staging = self._staging_dir(round_i)
         if os.path.exists(staging):
             shutil.rmtree(staging)
-        counts: dict[str, int] = {}
-        for name, df in tables.items():
+
+        def _write(item):
+            name, df = item
             writer = df.write.mode("overwrite")
             pb = (partition_by or {}).get(name)
             if pb:
                 writer = writer.partitionBy(*pb)
             writer.parquet(os.path.join(staging, name))
+
+        # Independent tables write concurrently — Spark schedules the jobs in
+        # parallel, cutting per-round wall time to ~max(write) instead of the
+        # sum (cached upstream DataFrames are shared across the jobs).
+        from concurrent.futures import ThreadPoolExecutor
+
+        with ThreadPoolExecutor(max_workers=len(tables)) as pool:
+            list(pool.map(_write, tables.items()))
         snapshot_id = time.time_ns()
         manifest = {
             "round": round_i,

@@ -93,6 +93,97 @@ def build_pages(spark: SparkSession, sf_dir: str, limit_docs: int | None = None)
     )
 
 
+def build_persons_pages(
+    spark: SparkSession, sf_dir: str, limit_docs: int | None = None
+) -> DataFrame:
+    """Genealogy-parity corpus: each page is a person record in the reference's
+    shape (fsapi.py:146-161 persons JSON -> Individual + childAndParents +
+    Couple rels), embedded as a JSON blob in the html.
+
+    Deterministic rules (d = doc_id, N = corpus size; DuckDB oracles in
+    __spark_entry__ reproduce them verbatim):
+      color(d)    = -1 if d%5<2 else (1 if d%5<4 else 0)   # Gender enum; the
+                    class boundaries make CONSECUTIVE ids share a gender for
+                    d%5 in {0,2}, so sibling parents (2d+1, 2d+2) exercise
+                    both A4 outcomes (same-gender pair -> Resolve)
+      surname     = 'S' || d%50 ;  given = 'G' || d%97
+      lifespan(d) = d%4: 0->'Living', 1->'{1800+d%200}-{1880+d%99}',
+                         2->'-{1800+d%100}', 3->''
+      parents(d)  = 2d+1, 2d+2 (< N) — child->parent edges
+      rel ids     = shared 'R{d}s' for both parents when d%5==0 (one
+                    childAndParents rel), else per-parent 'R{d}a'/'R{d}b'
+                    (exercises both AssumedBiological and Resolve paths of A4)
+      couple(d)   = (7d+3)%N if != d — frontier-only (F6, no edge)
+    The traversal link set (parents ∪ couple) equals the web corpus's link
+    rule, so BFS iterations are identical across modes.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if limit_docs is not None:
+        docs = docs.filter(F.col("doc_id") < limit_docs)
+    n = docs.count()
+    d = F.col("doc_id")
+    color = (
+        F.when(d % 5 < 2, -1).when(d % 5 < 4, 1).otherwise(0).cast("int")
+    )
+    lifespan = (
+        F.when(d % 4 == 0, F.lit("Living"))
+        .when(
+            d % 4 == 1,
+            F.concat(
+                (1800 + d % 200).cast("string"), F.lit("-"), (1880 + d % 99).cast("string")
+            ),
+        )
+        .when(d % 4 == 2, F.concat(F.lit("-"), (1800 + d % 100).cast("string")))
+        .otherwise(F.lit(""))
+    )
+    shared = d % 5 == 0
+    rel_a = F.when(shared, F.concat(F.lit("R"), d.cast("string"), F.lit("s"))).otherwise(
+        F.concat(F.lit("R"), d.cast("string"), F.lit("a"))
+    )
+    rel_b = F.when(shared, F.concat(F.lit("R"), d.cast("string"), F.lit("s"))).otherwise(
+        F.concat(F.lit("R"), d.cast("string"), F.lit("b"))
+    )
+    parents = F.filter(
+        F.array(
+            F.when(d * 2 + 1 < n, F.struct(_url_expr(d * 2 + 1).alias("url"), rel_a.alias("rel_id"))),
+            F.when(d * 2 + 2 < n, F.struct(_url_expr(d * 2 + 2).alias("url"), rel_b.alias("rel_id"))),
+        ),
+        lambda x: x.isNotNull(),
+    )
+    couples = F.filter(
+        F.array(F.when((d * 7 + 3) % n != d, _url_expr((d * 7 + 3) % n))),
+        lambda x: x.isNotNull(),
+    )
+    payload = F.to_json(
+        F.struct(
+            color.alias("color"),
+            F.concat(F.lit("S"), (d % 50).cast("string")).alias("surname"),
+            F.concat(F.lit("G"), (d % 97).cast("string")).alias("given"),
+            lifespan.alias("lifespan"),
+            parents.alias("parents"),
+            couples.alias("couples"),
+        )
+    )
+    html = F.concat(
+        F.lit("<html><head><title>person "),
+        d.cast("string"),
+        F.lit("</title></head><body><p>"),
+        F.col("text"),
+        F.lit('</p><script type="application/json">'),
+        payload,
+        F.lit("</script></body></html>"),
+    )
+    return docs.select(
+        _url_expr(d).alias("url"),
+        (F.to_timestamp(F.lit(BASE_TS)) + F.make_interval(secs=d.cast("decimal(18,6)"))).alias(
+            "warc_ts"
+        ),
+        F.encode(html, "UTF-8").alias("html"),
+        F.col("text"),
+        F.col("lang"),
+    )
+
+
 def oracle_edges_sql(max_n: str = "(SELECT count(*) FROM documents)") -> str:
     """DuckDB CTE body reconstructing the same outlink edges from documents.
 
