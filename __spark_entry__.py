@@ -39,12 +39,15 @@ from fs_crawler_spark.operators.dedup import (
 from fs_crawler_spark.operators.frontier import anti_join_seen, dedup_frontier
 from fs_crawler_spark.operators.graph import (
     birth_year,
+    csr_entries,
     determine_resolution,
     invalid_birth_decade_histogram,
     invalid_by_iteration_histogram,
     invalid_children,
     relationship_counts,
+    relationships_to_resolve,
     rewrite_relationships,
+    with_positions,
 )
 from fs_crawler_spark.operators.multimodal import (
     extract_features,
@@ -58,10 +61,11 @@ from fs_crawler_spark.operators.similarity import (
     cosine,
 )
 from fs_crawler_spark.plans.crawl import CrawlConfig, read_output, run_crawl
-from fs_crawler_spark.plans.resolve import apply_resolution
+from fs_crawler_spark.plans.resolve import apply_fact_resolution, apply_resolution
 from fs_crawler_spark.sources.corpus import (
     build_pages,
     build_persons_pages,
+    build_relationship_facts,
     doc_url,
     oracle_edges_sql,
 )
@@ -69,6 +73,62 @@ from fs_crawler_spark.sources.corpus import (
 # Shared CTE prefix reconstructing the corpus outlink DAG in DuckDB
 # (fs_crawler_spark/sources/corpus.py pins the arithmetic rule).
 _CTES = oracle_edges_sql()
+
+_FACTS_SQL = (
+    "['AdoptiveParent','BiologicalParent','FosterParent','GuardianParent',"
+    "'StepParent','SociologicalParent','SurrogateParent']"
+)
+
+# Persons-mode pipeline CTEs (appended after the recursive corpus CTEs):
+# exhaustive BFS -> parent rels -> A4 grouping -> per-rel flags ->
+# resolved_edges with the fact-index key (fact_k: a=0, b=1, s=2 — matches
+# corpus.build_relationship_facts).
+_PERSONS_PIPE = """
+bfs(d) AS (
+    SELECT 0
+    UNION
+    SELECT l.dst FROM bfs b JOIN links l ON l.src = b.d
+),
+prel AS (
+    SELECT b.d AS child, b.d * 2 + 1 AS parent,
+           CASE WHEN b.d % 5 = 0 THEN 'R' || b.d || 's' ELSE 'R' || b.d || 'a' END AS rel_id,
+           CASE WHEN b.d % 5 = 0 THEN 2 ELSE 0 END AS fact_k
+    FROM bfs b, params WHERE b.d * 2 + 1 < n
+    UNION ALL
+    SELECT b.d, b.d * 2 + 2,
+           CASE WHEN b.d % 5 = 0 THEN 'R' || b.d || 's' ELSE 'R' || b.d || 'b' END,
+           CASE WHEN b.d % 5 = 0 THEN 2 ELSE 1 END
+    FROM bfs b, params WHERE b.d * 2 + 2 < n
+),
+colors AS (SELECT d, CASE WHEN d % 5 < 2 THEN -1 WHEN d % 5 < 4 THEN 1 ELSE 0 END AS color FROM urls),
+rels AS (
+    SELECT DISTINCT p.child, p.rel_id, c.color
+    FROM prel p
+    JOIN colors c ON c.d = p.parent
+    JOIN bfs v ON v.d = p.parent
+),
+grp AS (SELECT child, color, count(*) AS grp_size FROM rels GROUP BY 1, 2),
+tot AS (SELECT child, color, grp_size,
+               sum(grp_size) OVER (PARTITION BY child) AS total FROM grp),
+flagged AS (
+    SELECT r.rel_id,
+           CASE WHEN t.grp_size = 1 AND t.total < 3 THEN 0 ELSE 1 END AS f
+    FROM rels r JOIN tot t ON r.child = t.child AND r.color = t.color
+),
+res AS (
+    SELECT rel_id,
+           CASE WHEN max(f) = 1 THEN 'Resolve' ELSE 'AssumedBiological' END AS type
+    FROM flagged GROUP BY rel_id
+),
+resolved_edges AS (
+    SELECT us.url AS source, ud.url AS destination,
+           coalesce(r.type, 'UntypedParent') AS type, p.rel_id AS id,
+           p.child, p.parent, p.fact_k
+    FROM prel p
+    JOIN urls us ON us.d = p.child
+    JOIN urls ud ON ud.d = p.parent
+    LEFT JOIN res r ON r.rel_id = p.rel_id
+)"""
 
 _DOC_ID_RE = r"/doc/(\d+)$"
 
@@ -153,6 +213,44 @@ def q_persons_edges_resolved(spark: SparkSession, sf_dir: str) -> DataFrame:
     vertices = read_output(spark, ckpt, "vertices")
     return apply_resolution(edges, vertices).select(
         "source", "destination", "type", "id"
+    )
+
+
+def q_persons_edges_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Full lazy-resolution pipeline (reference default mode end-to-end):
+    crawl -> A4 flags -> 'fetch' Resolve rels against the fact corpus (S2) ->
+    GedcomX fact types (P5)."""
+    ckpt = _crawled(spark, sf_dir, "persons", 40)
+    edges = read_output(spark, ckpt, "edges")
+    vertices = read_output(spark, ckpt, "vertices")
+    resolved = apply_resolution(edges, vertices)
+    final = apply_fact_resolution(resolved, build_relationship_facts(spark, sf_dir))
+    return final.select("source", "destination", "type", "id")
+
+
+def q_rels_to_resolve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A8: distinct rel ids flagged Resolve (graph_db_impl.py:233-249)."""
+    ckpt = _crawled(spark, sf_dir, "persons", 40)
+    edges = read_output(spark, ckpt, "edges")
+    vertices = read_output(spark, ckpt, "vertices")
+    return relationships_to_resolve(apply_resolution(edges, vertices))
+
+
+def q_csr_export(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5/O2/O3: red-black CSR entries (row, col, val) of the fully-resolved
+    persons graph — diagonal = vertex color, edges valued 3/2 by destination
+    gender (test_db_reader.py:15-45 semantics)."""
+    ckpt = _crawled(spark, sf_dir, "persons", 40)
+    edges = read_output(spark, ckpt, "edges")
+    vertices = read_output(spark, ckpt, "vertices")
+    final = apply_fact_resolution(
+        apply_resolution(edges, vertices), build_relationship_facts(spark, sf_dir)
+    )
+    vp = with_positions(vertices, order_col="id")
+    return csr_entries(vp, final).select(
+        F.col("row").cast("int").alias("row"),
+        F.col("col").cast("int").alias("col"),
+        F.col("val").cast("int").alias("val"),
     )
 
 
@@ -601,6 +699,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "crawl_budget_reachable": q_crawl_budget_reachable,
         "persons_crawl": q_persons_crawl,
         "persons_edges_resolved": q_persons_edges_resolved,
+        "persons_edges_final": q_persons_edges_final,
+        "rels_to_resolve": q_rels_to_resolve,
+        "csr_export": q_csr_export,
         "frontier_antijoin": q_frontier_antijoin,
         "link_edges": q_link_edges,
         "politeness_window": q_politeness_window,
@@ -751,46 +852,51 @@ FROM mins m JOIN urls u ON u.d = m.d
 """,
         "persons_edges_resolved": f"""
 WITH RECURSIVE {_CTES},
-bfs(d) AS (
-    SELECT 0
-    UNION
-    SELECT l.dst FROM bfs b JOIN links l ON l.src = b.d
+{_PERSONS_PIPE}
+SELECT source, destination, type, id FROM resolved_edges
+""",
+        "persons_edges_final": f"""
+WITH RECURSIVE {_CTES},
+{_PERSONS_PIPE}
+SELECT source, destination,
+       CASE WHEN type = 'Resolve'
+            THEN {_FACTS_SQL}[((child + fact_k) % 7) + 1]
+            ELSE type END AS type,
+       id
+FROM resolved_edges
+""",
+        "rels_to_resolve": f"""
+WITH RECURSIVE {_CTES},
+{_PERSONS_PIPE}
+SELECT DISTINCT rel_id AS id FROM res WHERE type = 'Resolve'
+""",
+        "csr_export": f"""
+WITH RECURSIVE {_CTES},
+{_PERSONS_PIPE},
+final_edges AS (
+    SELECT child, parent,
+           CASE WHEN type = 'Resolve'
+                THEN {_FACTS_SQL}[((child + fact_k) % 7) + 1]
+                ELSE type END AS type
+    FROM resolved_edges
 ),
-prel AS (
-    SELECT b.d AS child, b.d * 2 + 1 AS parent,
-           CASE WHEN b.d % 5 = 0 THEN 'R' || b.d || 's' ELSE 'R' || b.d || 'a' END AS rel_id
-    FROM bfs b, params WHERE b.d * 2 + 1 < n
-    UNION ALL
-    SELECT b.d, b.d * 2 + 2,
-           CASE WHEN b.d % 5 = 0 THEN 'R' || b.d || 's' ELSE 'R' || b.d || 'b' END
-    FROM bfs b, params WHERE b.d * 2 + 2 < n
+vp AS (
+    SELECT b.d, u.url, c.color,
+           row_number() OVER (ORDER BY u.url) - 1 AS position
+    FROM bfs b JOIN urls u ON u.d = b.d JOIN colors c ON c.d = b.d
 ),
-colors AS (SELECT d, CASE WHEN d % 5 < 2 THEN -1 WHEN d % 5 < 4 THEN 1 ELSE 0 END AS color FROM urls),
-rels AS (
-    SELECT DISTINCT p.child, p.rel_id, c.color
-    FROM prel p
-    JOIN colors c ON c.d = p.parent
-    JOIN bfs v ON v.d = p.parent
-),
-grp AS (SELECT child, color, count(*) AS grp_size FROM rels GROUP BY 1, 2),
-tot AS (SELECT child, color, grp_size,
-               sum(grp_size) OVER (PARTITION BY child) AS total FROM grp),
-flagged AS (
-    SELECT r.rel_id,
-           CASE WHEN t.grp_size = 1 AND t.total < 3 THEN 0 ELSE 1 END AS res
-    FROM rels r JOIN tot t ON r.child = t.child AND r.color = t.color
-),
-res AS (
-    SELECT rel_id,
-           CASE WHEN max(res) = 1 THEN 'Resolve' ELSE 'AssumedBiological' END AS type
-    FROM flagged GROUP BY rel_id
+diag AS (SELECT position AS row, position AS col, color AS val FROM vp),
+edge_entries AS (
+    SELECT s.position AS row, t.position AS col,
+           CASE WHEN t.color = 1 THEN 3 ELSE 2 END AS val
+    FROM final_edges e
+    JOIN vp s ON s.d = e.child
+    JOIN vp t ON t.d = e.parent
+    WHERE e.type IN ('AssumedBiological', 'UnspecifiedParentType', 'BiologicalParent')
 )
-SELECT us.url AS source, ud.url AS destination,
-       coalesce(r.type, 'UntypedParent') AS type, p.rel_id AS id
-FROM prel p
-JOIN urls us ON us.d = p.child
-JOIN urls ud ON ud.d = p.parent
-LEFT JOIN res r ON r.rel_id = p.rel_id
+SELECT row::INT AS row, col::INT AS col, val::INT AS val FROM diag
+UNION ALL
+SELECT row::INT, col::INT, val::INT FROM edge_entries
 """,
         "frontier_antijoin": f"""
 WITH {_CTES}

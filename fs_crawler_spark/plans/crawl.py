@@ -63,6 +63,8 @@ class CrawlConfig:
     mode: str = "web"  # "web" (href links) | "persons" (GedcomX-parity JSON)
     use_bloom: bool = False  # advisory seen-set pre-filter (correctness-free)
     bloom_expected_per_shard: int = 100_000
+    compact_every: int | None = 8  # rewrite seen as one snapshot every K
+    # rounds (Iceberg compaction analog) so read fan-in stays bounded
     extra: dict[str, Any] = field(default_factory=dict)
 
 
@@ -182,17 +184,16 @@ def crawl_round(
     if "edges" in obs:
         edges_delta = edges_delta.observe(obs["edges"], F.count(F.lit(1)).alias("n"))
 
-    # One shuffle partition per shard -> exactly one file per shard dir in
-    # the snapshot (the parquet stand-in for Iceberg's bucket(N, url) layout;
-    # without this, |batch partitions| x |shards| tiny files accrete and the
-    # per-round seen read becomes listing-bound).
-    seen_delta = batch.select(
-        "url",
-        "url_hash",
-        "host",
-        F.col("discovered_iter"),
-        url_shard(F.col("url_hash"), cfg.n_shards).alias("shard"),
-    ).repartition(cfg.n_shards, F.col("shard"))
+    def _to_seen(df: DataFrame) -> DataFrame:
+        return df.select(
+            "url",
+            "url_hash",
+            "host",
+            F.col("discovered_iter"),
+            url_shard(F.col("url_hash"), cfg.n_shards).alias("shard"),
+        )
+
+    batch_seen = _to_seen(batch)
 
     raw_candidates = dedup_frontier(
         as_frontier_rows(out_links.select(F.col("raw_url").alias("url")), round_i + 1)
@@ -201,8 +202,7 @@ def crawl_round(
         raw_candidates = raw_candidates.observe(
             obs["raw_candidates"], F.count(F.lit(1)).alias("n")
         )
-    candidates = robots_gate(raw_candidates, robots)
-    seen_keys = seen_delta.select("url_hash", "url")
+    seen_keys = batch_seen.select("url_hash", "url")
     if seen is not None:
         seen_keys = seen.select("url_hash", "url").unionByName(seen_keys)
     if bloom_shards:
@@ -213,19 +213,35 @@ def crawl_round(
         from ..operators.bloom import bloom_prefilter
 
         spark = frontier.sparkSession
-        flags = bloom_prefilter(spark, candidates, bloom_shards, cfg.n_shards)
-        candidates = candidates.join(flags, on=["url_hash", "url"], how="inner")
-        definite_new = candidates.filter(~F.col("maybe_seen")).drop("maybe_seen")
-        maybe_seen = candidates.filter(F.col("maybe_seen")).drop("maybe_seen")
-        candidates = definite_new.unionByName(
-            anti_join_seen(maybe_seen, seen_keys)
-        )
+        flags = bloom_prefilter(spark, raw_candidates, bloom_shards, cfg.n_shards)
+        flagged = raw_candidates.join(flags, on=["url_hash", "url"], how="inner")
+        definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
+        maybe_seen = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
+        unseen = definite_new.unionByName(anti_join_seen(maybe_seen, seen_keys))
         # definite-new rows still must not collide with THIS round's batch
-        candidates = anti_join_seen(candidates, seen_delta.select("url_hash", "url"))
+        unseen = anti_join_seen(unseen, batch_seen.select("url_hash", "url"))
     else:
-        candidates = anti_join_seen(candidates, seen_keys)
+        unseen = anti_join_seen(raw_candidates, seen_keys)
+
+    candidates = robots_gate(unseen, robots)
     if "candidates" in obs:
         candidates = candidates.observe(obs["candidates"], F.count(F.lit(1)).alias("n"))
+
+    # robots-blocked urls enter the seen-set (never re-extracted round after
+    # round); fetched-or-blocked is the seen invariant.
+    if robots is not None:
+        blocked = unseen.join(
+            candidates.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
+        )
+        seen_delta = batch_seen.unionByName(_to_seen(blocked))
+    else:
+        seen_delta = batch_seen
+
+    # One shuffle partition per shard -> exactly one file per shard dir in
+    # the snapshot (the parquet stand-in for Iceberg's bucket(N, url) layout;
+    # without this, |batch partitions| x |shards| tiny files accrete and the
+    # per-round seen read becomes listing-bound).
+    seen_delta = seen_delta.repartition(cfg.n_shards, F.col("shard"))
     new_frontier = merge_frontier(deferred, candidates)
     if "frontier" in obs:
         new_frontier = new_frontier.observe(obs["frontier"], F.count(F.lit(1)).alias("n"))
@@ -305,16 +321,45 @@ def run_crawl(
         batch_n = sum(int(r["count"]) for r in part_rows)
         snapshot_id = time.time_ns()
 
+        # Periodic seen compaction: write the FULL seen-set this round and
+        # flag it in the manifest, so subsequent read_unions start here.
+        seen_out = plan.seen_delta
+        compacted: list[str] = []
+        if (
+            cfg.compact_every
+            and seen is not None
+            and (round_i + 1) % cfg.compact_every == 0
+        ):
+            seen_out = seen.unionByName(plan.seen_delta).repartition(
+                cfg.n_shards, F.col("shard")
+            )
+            compacted = ["seen"]
+
         # The commit writes are the actions that fill every observation.
         store.commit(
             round_i,
             {
                 "frontier": plan.new_frontier,
-                "seen": plan.seen_delta,
+                "seen": seen_out,
                 "vertices": plan.vertices_delta,
                 "edges": plan.edges_delta,
             },
-            meta={"urls_in": urls_in, "batch_n": batch_n},
+            compacted=compacted,
+            # S9 provenance analog (crawler.py:107-122 .settings file): the
+            # full run configuration rides in every snapshot manifest.
+            meta={
+                "urls_in": urls_in,
+                "batch_n": batch_n,
+                "settings": {
+                    "max_rounds": cfg.max_rounds,
+                    "host_budget": cfg.host_budget,
+                    "salt_n": cfg.salt_n,
+                    "n_shards": cfg.n_shards,
+                    "mode": cfg.mode,
+                    "use_bloom": cfg.use_bloom,
+                    "seeds": seeds,
+                },
+            },
             partition_by={"seen": ["shard"]},
         )
         urls_fetched = _obs_count(obs["fetched"], plan.parsed)

@@ -23,6 +23,26 @@ from ..operators.graph import determine_resolution, resolution_input
 from ..schemas import UNTYPED_PARENT
 
 
+def apply_fact_resolution(edges: DataFrame, rel_facts: DataFrame) -> DataFrame:
+    """Stage 2 of lazy resolution (the reference's Resolve-rel fetch,
+    fsapi.py:224-235): every edge flagged Resolve is "fetched" against the
+    relationship-fact corpus and takes its GedcomX fact type (P5,
+    fsapi.py:88-97; last-fact-wins collapses to max_by on a deterministic
+    corpus). Non-Resolve edges pass through."""
+    facts = rel_facts.groupBy("id").agg(F.max("fact_type").alias("_fact"))
+    return (
+        edges.join(F.broadcast(facts), on="id", how="left")
+        .withColumn(
+            "type",
+            F.when(
+                (F.col("type") == "Resolve") & F.col("_fact").isNotNull(),
+                F.col("_fact"),
+            ).otherwise(F.col("type")),
+        )
+        .drop("_fact")
+    )
+
+
 def apply_resolution(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """Return edges with UntypedParent rows re-typed per the A4 rule.
 

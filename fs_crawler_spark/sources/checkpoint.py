@@ -52,6 +52,7 @@ class CheckpointStore:
         tables: dict[str, DataFrame],
         meta: dict[str, Any] | None = None,
         partition_by: dict[str, list[str]] | None = None,
+        compacted: list[str] | None = None,
     ) -> int:
         """Write all tables to staging, then publish atomically. Returns a
         snapshot id (ns timestamp) recorded in the manifest."""
@@ -79,6 +80,9 @@ class CheckpointStore:
             "round": round_i,
             "snapshot_id": snapshot_id,
             "tables": sorted(tables),
+            # tables written as a FULL rewrite this round (Iceberg rewrite/
+            # compaction analog): read_union starts here instead of round 0.
+            "compacted": sorted(compacted or []),
             "meta": meta or {},
         }
         final = self._round_dir(round_i)
@@ -116,10 +120,21 @@ class CheckpointStore:
     def read_union(
         self, spark: SparkSession, name: str, up_to_round: int | None = None
     ) -> DataFrame | None:
-        """Union of an append-table's per-round deltas (Iceberg-append analog)."""
+        """Union of an append-table's per-round deltas (Iceberg-append analog).
+        If some round committed the table as compacted (a full rewrite), the
+        union starts at the latest such round — bounding read fan-in."""
+        rounds = [
+            r
+            for r in self.committed_rounds()
+            if up_to_round is None or r <= up_to_round
+        ]
+        start = 0
+        for r in rounds:
+            if name in self.manifest(r).get("compacted", []):
+                start = r
         paths = []
-        for r in self.committed_rounds():
-            if up_to_round is not None and r > up_to_round:
+        for r in rounds:
+            if r < start:
                 continue
             p = os.path.join(self._round_dir(r), name)
             if os.path.exists(p):

@@ -205,6 +205,45 @@ def build_persons_pages(
     )
 
 
+GEDCOMX_FACT_TYPES = (
+    "AdoptiveParent",
+    "BiologicalParent",
+    "FosterParent",
+    "GuardianParent",
+    "StepParent",
+    "SociologicalParent",
+    "SurrogateParent",
+)
+
+
+def build_relationship_facts(
+    spark: SparkSession, sf_dir: str, limit_docs: int | None = None
+) -> DataFrame:
+    """The S2 analog: the relationship-fact corpus a Resolve-flagged rel id is
+    "fetched" against (reference: GET child-and-parents-relationships/{id},
+    fsapi.py:99-100, typed from facts by P5 fsapi.py:88-97).
+
+    Deterministic: rel 'R{d}a'/'R{d}b'/'R{d}s' of child d carries fact type
+    GEDCOMX_FACT_TYPES[(d + k) % 7] with k = 0/1/2 for a/b/s.
+    """
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    if limit_docs is not None:
+        docs = docs.filter(F.col("doc_id") < limit_docs)
+    d = F.col("doc_id")
+    fact = F.array(*[F.lit(t) for t in GEDCOMX_FACT_TYPES])
+
+    def rel(suffix: str, k: int):
+        return F.struct(
+            F.concat(F.lit("R"), d.cast("string"), F.lit(suffix)).alias("id"),
+            fact.getItem((d + k) % 7).alias("fact_type"),
+        )
+
+    return (
+        docs.select(F.explode(F.array(rel("a", 0), rel("b", 1), rel("s", 2))).alias("r"))
+        .select(F.col("r.id").alias("id"), F.col("r.fact_type").alias("fact_type"))
+    )
+
+
 def oracle_edges_sql(max_n: str = "(SELECT count(*) FROM documents)") -> str:
     """DuckDB CTE body reconstructing the same outlink edges from documents.
 
