@@ -618,7 +618,17 @@ def q_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_exact_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return exact_dup_groups(_docs(spark, sf_dir))
+    """Exact dedup over a corpus with planted duplicates: docs with
+    doc_id % 10 < 2 share text 'DUP-{doc_id % 50}' (deterministic in SQL too),
+    so ~20% of the corpus collapses into 50 groups."""
+    docs = _docs(spark, sf_dir).withColumn(
+        "text",
+        F.when(
+            F.col("doc_id") % 10 < 2,
+            F.concat(F.lit("DUP-"), (F.col("doc_id") % 50).cast("string")),
+        ).otherwise(F.col("text")),
+    )
+    return exact_dup_groups(docs)
 
 
 def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1173,8 +1183,13 @@ d AS (SELECT doc_id, list_transform(tk, x -> md5(x)) AS digs FROM t)
 SELECT doc_id, ({_simhash_sql_bits(32)})::BIGINT AS simhash FROM d
 """,
         "exact_dup_groups": """
+WITH d AS (
+    SELECT doc_id,
+           CASE WHEN doc_id % 10 < 2 THEN 'DUP-' || (doc_id % 50) ELSE text END AS text
+    FROM documents
+)
 SELECT md5(text) AS sha, count(*) AS n_docs, min(doc_id) AS keeper_id
-FROM documents GROUP BY md5(text) HAVING count(*) >= 2
+FROM d GROUP BY md5(text) HAVING count(*) >= 2
 """,
         "token_jaccard": f"""
 WITH t AS (SELECT doc_id, source, list_distinct({_TOKS}) AS tk FROM documents),

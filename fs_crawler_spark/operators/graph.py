@@ -235,17 +235,52 @@ def hop_filter(vertices: DataFrame, edges: DataFrame, hops: int | None):
 # ---------------------------------------------------------------------------
 # J5/O2/O3 — CSR export prep: positions + red-black adjacency entries.
 # ---------------------------------------------------------------------------
-def with_positions(vertices: DataFrame, order_col: str = "id") -> DataFrame:
+def with_positions(
+    vertices: DataFrame, order_col: str = "id", distributed: bool = False
+) -> DataFrame:
     """O3 canonical ordering: dense 0-based position (ORDERING-table analog).
 
     The reference delegates ordering to a pluggable graph builder
     (db_reader.py:189); default here is lexicographic by id — deterministic
-    and total. NOTE: a global row_number is a single-partition sort at the
-    very end; for a 10^10-vertex export use zipWithIndex-style
-    ``monotonically_increasing_id`` + per-partition offsets instead.
+    and total.
+
+    ``distributed=False``: a global row_number (single-partition window) —
+    fine to millions of vertices. ``distributed=True``: the 10^10-vertex
+    path — range-partitioned sort, per-partition counts collected (tiny),
+    cumulative offsets broadcast back, position = offset + local rank. Same
+    output, no single-task bottleneck.
     """
-    w = Window.orderBy(F.col(order_col).asc())
-    return vertices.withColumn("position", F.row_number().over(w) - 1)
+    if not distributed:
+        w = Window.orderBy(F.col(order_col).asc())
+        return vertices.withColumn("position", F.row_number().over(w) - 1)
+
+    # persist pins the sampled range boundaries so the count pass and the
+    # rank pass see the identical partitioning
+    ordered = (
+        vertices.repartitionByRange(F.col(order_col).asc())
+        .sortWithinPartitions(F.col(order_col).asc())
+        .withColumn("pid", F.spark_partition_id())
+        .persist()
+    )
+    counts = ordered.groupBy("pid").count().collect()
+    offsets = {}
+    acc = 0
+    for r in sorted(counts, key=lambda r: r["pid"]):
+        offsets[r["pid"]] = acc
+        acc += r["count"]
+    spark = vertices.sparkSession
+    offset_df = spark.createDataFrame(
+        [(pid, off) for pid, off in offsets.items()], "pid int, _offset long"
+    )
+    # local rank within the CAPTURED pre-shuffle partition + its broadcast
+    # offset reproduces the global dense rank exactly
+    w_local = Window.partitionBy("pid").orderBy(F.col(order_col).asc())
+    return (
+        ordered.withColumn("_local", F.row_number().over(w_local) - 1)
+        .join(F.broadcast(offset_df), on="pid", how="inner")
+        .withColumn("position", (F.col("_offset") + F.col("_local")).cast("int"))
+        .drop("pid", "_local", "_offset")
+    )
 
 
 def csr_entries(vertices_pos: DataFrame, edges: DataFrame) -> DataFrame:

@@ -156,3 +156,21 @@ def test_csr_entries(spark, small_graph):
     assert got[(0, 2)] == 2  # V1 -> V3 (male)
     assert len(entries) == 5 + 3  # E3 also BiologicalParent -> V4 unknown => 2
     assert got[(0, 3)] == 2
+
+
+def test_with_positions_distributed_matches_global(spark, sf_dir):
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select(
+        F.col("doc_id").cast("string").alias("id"),
+        (F.col("doc_id") % 3 - 1).cast("int").alias("color"),
+        F.lit(None).cast("string").alias("surname"),
+        F.lit(None).cast("string").alias("given_name"),
+        F.lit(0).cast("int").alias("iteration"),
+        F.lit(None).cast("string").alias("lifespan"),
+    )
+    a = {r["id"]: r["position"] for r in with_positions(docs).collect()}
+    b = {
+        r["id"]: r["position"]
+        for r in with_positions(docs, distributed=True).collect()
+    }
+    assert a == b
+    assert sorted(a.values()) == list(range(len(a)))
