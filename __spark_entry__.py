@@ -594,8 +594,8 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = F.col("text")
     return docs.select(
         "doc_id",
-        token_count(t).alias("n_tokens"),
-        bpe_token_count(t).alias("n_bpe"),
+        token_count(t).cast("long").alias("n_tokens"),
+        bpe_token_count(t).cast("long").alias("n_bpe"),
         F.round(punct_ratio(t), 4).alias("punct_r"),
         F.round(stopword_ratio(t, "en"), 4).alias("stop_r"),
         quality_score(t).alias("quality"),
@@ -654,7 +654,8 @@ def q_ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return brute_force_topk(emb, queries, k=10)
+    out = brute_force_topk(emb, queries, k=10)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -686,7 +687,8 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     media = synth_media(spark, _docs(spark, sf_dir), kind="video")
-    return frame_sample_plan(media, every_ms=1000)
+    out = frame_sample_plan(media, every_ms=1000)
+    return out.withColumn("frame_ts_ms", F.col("frame_ts_ms").cast("long"))
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:

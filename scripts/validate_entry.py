@@ -31,6 +31,34 @@ TABLES = [
 ]
 
 
+# duckdb's DB-API description exposes only generic type classes, so the
+# comparison is at that granularity (what a duckdb-based driver can see).
+_SPARK_TO_CLASS = {
+    "int": "NUMBER",
+    "bigint": "NUMBER",
+    "double": "NUMBER",
+    "float": "NUMBER",
+    "string": "STRING",
+    "boolean": "bool",
+    "timestamp": "DATETIME",
+}
+
+
+def type_mismatches(sdf, ocols_raw, otypes) -> list[str]:
+    spark_types = dict(sdf.dtypes)
+    out = []
+    for c, ot in zip(ocols_raw, otypes):
+        st = spark_types.get(c)
+        if st is None:
+            continue
+        want = _SPARK_TO_CLASS.get(st)
+        if want is None:
+            continue  # arrays/structs: skip
+        if str(ot).upper() != want.upper():
+            out.append(f"{c}: spark={st} duck={ot}")
+    return out
+
+
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
@@ -76,6 +104,12 @@ def run(sf_dir: str, only: list[str]) -> int:
         ocols = sorted(ocols_raw)
         if scols != ocols:
             print(f"[FAIL] {name}: columns differ spark={scols} duck={ocols}")
+            failures += 1
+            continue
+        otypes = [d[1] for d in res.description]
+        tmis = type_mismatches(sdf, ocols_raw, otypes)
+        if tmis:
+            print(f"[FAIL] {name}: column types differ: {tmis}")
             failures += 1
             continue
         if len(srows) != len(orows):
