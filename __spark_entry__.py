@@ -34,6 +34,7 @@ from fs_crawler_spark.operators.dedup import (
     exact_dup_groups,
     minhash_lsh_pairs,
     simhash,
+    simhash_near_dup_pairs,
     token_jaccard_pairs,
 )
 from fs_crawler_spark.operators.frontier import anti_join_seen, dedup_frontier
@@ -638,6 +639,33 @@ def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash hamming<=6 near-dup pairs via pigeonhole block join (8 blocks
+    of 4 bits over the 32-bit simhash)."""
+    return simhash_near_dup_pairs(
+        _docs(spark, sf_dir), max_hamming=6, bits=32, blocks=8
+    )
+
+
+def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization: new session when >30 min since the user's
+    previous event; returns per-session (user_id, session_id, n_events)."""
+    from pyspark.sql import Window
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    # ts is TIMESTAMP_NTZ; route through TIMESTAMP (session tz = UTC) to get
+    # epoch seconds — matches DuckDB's epoch(ts)::BIGINT
+    secs = F.col("ts").cast("timestamp").cast("long")
+    gap = secs - F.lag(secs).over(w)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    sess = (
+        ev.withColumn("_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        .withColumn("session_id", F.sum("_new").over(w_run))
+    )
+    return sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
+
+
 def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-dup pairs (16 hashes, 4 bands, 4-token shingles),
     exact-Jaccard verified at >= 0.2."""
@@ -736,6 +764,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "token_jaccard": q_token_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "simhash_near_dup": q_simhash_near_dup,
+        "events_sessions": q_events_sessions,
         "ann_topk": q_ann_topk,
         "emb_near_dup": q_emb_near_dup,
         "ann_lsh": q_ann_lsh,
@@ -1211,6 +1241,40 @@ JOIN sz sb ON sb.doc_id = id_b
 WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.5
 """,
         "minhash_lsh": _minhash_sql(16, 4, 4),
+        "simhash_near_dup": f"""
+WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents),
+d AS (SELECT doc_id, list_transform(tk, x -> md5(x)) AS digs FROM t),
+s AS (SELECT doc_id, ({_simhash_sql_bits(32)})::BIGINT AS sh FROM d),
+banded AS (
+    SELECT doc_id, sh, b.range AS blk, (sh >> (b.range * 4)::INT) & 15 AS val
+    FROM s, range(8) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, a.sh AS sha, b.doc_id AS id_b, b.sh AS shb
+    FROM banded a JOIN banded b ON a.blk = b.blk AND a.val = b.val
+    WHERE a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(sha, shb))::INT AS hamming
+FROM cand WHERE bit_count(xor(sha, shb)) <= 6
+""",
+        "events_sessions": """
+WITH g AS (
+    SELECT user_id, ts, event_id,
+           CASE WHEN lag(ts) OVER w IS NULL
+                     OR epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT > 1800
+                THEN 1 ELSE 0 END AS new_s
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+),
+s AS (
+    SELECT user_id,
+           sum(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                            ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+    FROM g
+)
+SELECT user_id, session_id, count(*) AS n_events
+FROM s GROUP BY 1, 2
+""",
         "ann_topk": """
 WITH q AS (SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id < 5),
 c AS (SELECT vec_id, embedding::DOUBLE[] AS cv FROM embeddings),

@@ -247,6 +247,61 @@ def simhash(text_col: str, bits: int = 32):
     return out
 
 
+def simhash_near_dup_pairs(
+    docs: DataFrame,
+    max_hamming: int = 3,
+    bits: int = 32,
+    blocks: int = 4,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Near-dup pairs with simhash hamming distance <= max_hamming.
+
+    Pigeonhole blocking: with ``blocks`` > max_hamming, any pair within the
+    hamming ball shares at least one identical block — candidates are pairs
+    sharing (block_idx, block_value), verified exactly with
+    bit_count(a XOR b). Full recall, no unblocked cross join; the shuffle key
+    is the (block, value) pair.
+    Returns (id_a, id_b, hamming).
+    """
+    assert blocks > max_hamming, "pigeonhole requires blocks > max_hamming"
+    block_bits = bits // blocks
+    mask = (1 << block_bits) - 1
+    sh = docs.select(
+        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh")
+    ).persist()
+    banded = sh.select(
+        "id",
+        "sh",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("blk"),
+                        F.shiftright("sh", b * block_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("val"),
+                    )
+                    for b in range(blocks)
+                ]
+            )
+        ).alias("bb"),
+    ).select("id", "sh", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
+    a = banded.select("blk", "val", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    b = banded.select("blk", "val", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    return (
+        a.join(b, on=["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
+        )
+        .filter(F.col("hamming") <= max_hamming)
+        .distinct()
+    )
+
+
 def simhash_dup_groups(
     docs: DataFrame, id_col: str = "doc_id", text_col: str = "text", bits: int = 32
 ) -> DataFrame:

@@ -115,3 +115,18 @@ def test_quality_langid_fingerprint_deterministic(spark, docs):
     qs = [r["q"] for r in out1]
     assert all(0.0 <= q <= 1.0 for q in qs)
     assert {r["lang"] for r in out1} <= {"en", "de", "es", "fr", "und"}
+
+
+def test_simhash_near_dup_pairs_finds_close_texts(spark):
+    from fs_crawler_spark.operators.dedup import simhash_near_dup_pairs
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "alpha beta gamma delta epsilon zeta"),  # identical -> hamming 0
+        (3, "totally different words entirely here now"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    pairs = {(r["id_a"], r["id_b"]): r["hamming"] for r in
+             simhash_near_dup_pairs(df, max_hamming=3, blocks=8).collect()}
+    assert pairs.get((1, 2)) == 0
+    assert all(3 not in p for p in pairs)
