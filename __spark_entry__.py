@@ -6,8 +6,9 @@ the training-data pipeline operators), each (spark, sf_dir) -> DataFrame.
 ``oracle_sql()`` — exact DuckDB-SQL oracles for every SQL-expressible query
 (crawl BFS via recursive CTE over the same arithmetic outlink DAG the corpus
 builder embeds; md5-based hashes so text/dedup pipelines are reproducible
-cross-engine). Approximate/Python-kernel ops (LSH ANN, multimodal features)
-are rows-only by design.
+cross-engine). LSH ANN and the multimodal feature kernel are also exactly
+oracled: deterministic md5 hyperplanes inline as SQL literals, and the fake
+feature is integer micro-unit arithmetic reproducible in SQL.
 """
 
 from __future__ import annotations
@@ -57,6 +58,7 @@ from fs_crawler_spark.operators.multimodal import (
 )
 from fs_crawler_spark.operators.politeness import select_batch
 from fs_crawler_spark.operators.similarity import (
+    _hyperplanes,
     ann_lsh_topk,
     brute_force_topk,
     cosine,
@@ -247,7 +249,8 @@ def q_csr_export(spark: SparkSession, sf_dir: str) -> DataFrame:
     final = apply_fact_resolution(
         apply_resolution(edges, vertices), build_relationship_facts(spark, sf_dir)
     )
-    vp = with_positions(vertices, order_col="id")
+    # distributed=True: range-partitioned ordering, no single-task sort
+    vp = with_positions(vertices, order_col="id", distributed=True)
     return csr_entries(vp, final).select(
         F.col("row").cast("int").alias("row"),
         F.col("col").cast("int").alias("col"),
@@ -654,13 +657,15 @@ def q_events_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = spark.read.parquet(f"{sf_dir}/events.parquet")
     w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
-    # ts is TIMESTAMP_NTZ; route through TIMESTAMP (session tz = UTC) to get
-    # epoch seconds — matches DuckDB's epoch(ts)::BIGINT
-    secs = F.col("ts").cast("timestamp").cast("long")
-    gap = secs - F.lag(secs).over(w)
+    # ts is TIMESTAMP_NTZ; compare gaps in WHOLE MICROSECONDS on both engines
+    # (cast("long") truncates fractional seconds while DuckDB's epoch() rounds,
+    # so second-granularity gaps straddling the boundary split differently).
+    # Oracle side uses epoch_us(ts) — identical integer algebra.
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    gap = micros - F.lag(micros).over(w)
     w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     sess = (
-        ev.withColumn("_new", F.when(gap.isNull() | (gap > 1800), 1).otherwise(0))
+        ev.withColumn("_new", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
         .withColumn("session_id", F.sum("_new").over(w_run))
     )
     return sess.groupBy("user_id", "session_id").agg(F.count("*").alias("n_events"))
@@ -702,12 +707,16 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """LSH-bucketed ANN (approximate — rows-only check by design)."""
+    """LSH-bucketed ANN. The hyperplanes are deterministic md5 constants
+    (similarity._hyperplanes), so the "approximate" plan is exactly
+    reproducible — the oracle inlines the same planes as literals into a
+    DuckDB list_dot_product bucket+rank query."""
     emb = _emb(spark, sf_dir)
     queries = emb.filter(F.col("vec_id") < 5).select(
         F.col("vec_id").alias("query_id"), "embedding"
     )
-    return ann_lsh_topk(emb, queries, k=10, n_planes=6)
+    out = ann_lsh_topk(emb, queries, k=10, n_planes=6)
+    return out.withColumn("rank", F.col("rank").cast("long"))
 
 
 # ---------------------------------------------------------------------------
@@ -720,9 +729,18 @@ def q_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Arrow-batched binary feature extraction (Python kernel — rows-only)."""
+    """Arrow-batched binary feature extraction, exploded to one row per
+    (media_id, dim) so the driver's canonical sort can hash it (array columns
+    are unhashable in pandas). Values are exact micro-unit fractions — see
+    multimodal._fake_feature — so the DuckDB byte-histogram oracle matches
+    bit-for-bit."""
     media = synth_media(spark, _docs(spark, sf_dir), kind="image")
-    return extract_features(media, dim=8)
+    feats = extract_features(media, dim=8)
+    return feats.select(
+        "media_id",
+        F.posexplode("feature").alias("dim", "feat"),
+        "n_bytes",
+    ).select("media_id", "dim", "feat", "n_bytes")
 
 
 # ---------------------------------------------------------------------------
@@ -793,6 +811,34 @@ def _simhash_sql_bits(bits: int = 32) -> str:
             f"THEN {1 << i}::BIGINT ELSE 0 END)"
         )
     return " + ".join(terms)
+
+
+def _ann_lsh_sql(k: int = 10, n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """Exact oracle for the LSH ANN query: the deterministic md5-seeded
+    hyperplanes are inlined as double literals (repr() round-trips float64),
+    so bucket assignment and re-ranking replay bit-identically in DuckDB."""
+    planes = _hyperplanes(dim, n_planes, seed)
+    bucket = " + ".join(
+        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) >= 0 "
+        f"THEN {1 << i} ELSE 0 END)"
+        for i, p in enumerate(planes)
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket})::BIGINT AS bucket FROM e),
+q AS (SELECT vec_id AS query_id, v AS qv, bucket FROM b WHERE vec_id < 5),
+scored AS (
+    SELECT q.query_id, c.vec_id,
+           round(list_dot_product(c.v, q.qv) /
+                 (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+    FROM b c JOIN q ON c.bucket = q.bucket
+    WHERE c.vec_id != q.query_id
+)
+SELECT query_id, vec_id, cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
 
 
 def _minhash_sql(num_hashes: int = 16, bands: int = 4, shingle: int = 4) -> str:
@@ -1261,7 +1307,7 @@ FROM cand WHERE bit_count(xor(sha, shb)) <= 6
 WITH g AS (
     SELECT user_id, ts, event_id,
            CASE WHEN lag(ts) OVER w IS NULL
-                     OR epoch(ts)::BIGINT - epoch(lag(ts) OVER w)::BIGINT > 1800
+                     OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
                 THEN 1 ELSE 0 END AS new_s
     FROM events
     WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
@@ -1303,5 +1349,25 @@ SELECT * FROM (
 SELECT doc_id AS media_id,
        unnest(generate_series(0, greatest(n_chars * 10 - 1, 0), 1000)) AS frame_ts_ms
 FROM documents
+""",
+        "ann_lsh": _ann_lsh_sql(k=10, n_planes=6, dim=64, seed=42),
+        # payload = utf-8 of ASCII corpus text, feature = floor-micro-unit
+        # byte%8 histogram (multimodal._fake_feature) — exact in integer SQL.
+        "media_features": """
+WITH codes AS (
+    SELECT doc_id AS media_id, strlen(text)::BIGINT AS n_bytes,
+           list_transform(range(1, length(text) + 1), i -> unicode(text[i]) % 8) AS m
+    FROM documents
+),
+hist AS (
+    SELECT media_id, n_bytes, b.range::INT AS dim,
+           len(list_filter(m, x -> x = b.range))::BIGINT AS cnt
+    FROM codes, range(8) b
+)
+SELECT media_id, dim,
+       CASE WHEN n_bytes = 0 THEN 0.0
+            ELSE ((cnt * 1000000) // n_bytes)::DOUBLE / 1000000.0 END AS feat,
+       n_bytes
+FROM hist
 """,
     }

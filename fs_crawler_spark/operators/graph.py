@@ -236,7 +236,7 @@ def hop_filter(vertices: DataFrame, edges: DataFrame, hops: int | None):
 # J5/O2/O3 — CSR export prep: positions + red-black adjacency entries.
 # ---------------------------------------------------------------------------
 def with_positions(
-    vertices: DataFrame, order_col: str = "id", distributed: bool = False
+    vertices: DataFrame, order_col: str = "id", distributed: bool = True
 ) -> DataFrame:
     """O3 canonical ordering: dense 0-based position (ORDERING-table analog).
 
@@ -244,11 +244,13 @@ def with_positions(
     (db_reader.py:189); default here is lexicographic by id — deterministic
     and total.
 
+    ``distributed=True`` (default, the 10^10-vertex path): range-partitioned
+    sort, per-partition counts collected (tiny), cumulative offsets broadcast
+    back, position = offset + local rank — no single-task sort anywhere.
     ``distributed=False``: a global row_number (single-partition window) —
-    fine to millions of vertices. ``distributed=True``: the 10^10-vertex
-    path — range-partitioned sort, per-partition counts collected (tiny),
-    cumulative offsets broadcast back, position = offset + local rank. Same
-    output, no single-task bottleneck.
+    the reference's in-memory semantics verbatim, kept as the equivalence
+    oracle for tests (distributed == global is asserted in
+    tests/test_graph_ops.py).
     """
     if not distributed:
         w = Window.orderBy(F.col(order_col).asc())

@@ -72,14 +72,22 @@ def decode_image(payload: bytes) -> np.ndarray:
 
 
 def _fake_feature(payload: bytes, dim: int = 8) -> list[float]:
-    """Deterministic stand-in for decode+embed: bucket byte histogram."""
+    """Deterministic stand-in for decode+embed: bucket byte histogram.
+
+    Values are exact micro-unit fractions — floor(count * 1e6 / total) / 1e6 —
+    computed in INTEGER arithmetic so a SQL oracle reproduces them
+    bit-identically (int -> double conversion and one double division are
+    IEEE-exact and engine-independent; naive count/total + round(6) is not:
+    numpy rounds half-even on binary floats, DuckDB half-up on decimals).
+    """
     if payload is None:
         return [0.0] * dim
     arr = np.frombuffer(payload, dtype=np.uint8)
     if arr.size == 0:
         return [0.0] * dim
     hist, _ = np.histogram(arr % dim, bins=dim, range=(0, dim))
-    return (hist / arr.size).round(6).tolist()
+    micro = (hist.astype(np.int64) * 1_000_000) // int(arr.size)
+    return (micro / 1_000_000.0).tolist()
 
 
 def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
