@@ -643,10 +643,11 @@ def q_token_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_simhash_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SimHash hamming<=6 near-dup pairs via pigeonhole block join (8 blocks
-    of 4 bits over the 32-bit simhash)."""
+    """SimHash hamming<=3 near-dup pairs via pigeonhole block join: 64-bit
+    simhash in 4 blocks of 16 bits (65,536 values per block), so the
+    candidate join is collision-bounded, not all-pairs-in-disguise."""
     return simhash_near_dup_pairs(
-        _docs(spark, sf_dir), max_hamming=6, bits=32, blocks=8
+        _docs(spark, sf_dir), max_hamming=3, bits=64, blocks=4
     )
 
 
@@ -800,6 +801,23 @@ _EN_STOP = "['the','and','of','to','a','in','is','that','it','for']"
 _DE_STOP = "['der','die','das','und','ist','von','mit','den','nicht','ein']"
 _ES_STOP = "['el','la','de','que','y','en','un','es','se','no']"
 _FR_STOP = "['le','la','et','les','des','est','un','une','du','que']"
+
+
+def _simhash64_block_sql(j: int, w: int = 16) -> str:
+    """One 16-bit block value of the 64-bit simhash (bits j*w .. j*w+w-1);
+    bit i reads hex digit i%32 of md5 round i//32 (d0 = md5(tok),
+    d1 = md5('1:' || tok)) — mirrors dedup.simhash_blocks exactly."""
+    terms = []
+    for t in range(w):
+        i = j * w + t
+        r = "d0" if i < 32 else "d1"
+        digit = (i % 32) + 1
+        terms.append(
+            f"(CASE WHEN 2 * len(list_filter({r}, h -> substring(h, {digit}, 1) IN "
+            f"('8','9','a','b','c','d','e','f'))) > len({r}) "
+            f"THEN {1 << t}::BIGINT ELSE 0 END)"
+        )
+    return " + ".join(terms)
 
 
 def _simhash_sql_bits(bits: int = 32) -> str:
@@ -1289,19 +1307,27 @@ WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.5
         "minhash_lsh": _minhash_sql(16, 4, 4),
         "simhash_near_dup": f"""
 WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents),
-d AS (SELECT doc_id, list_transform(tk, x -> md5(x)) AS digs FROM t),
-s AS (SELECT doc_id, ({_simhash_sql_bits(32)})::BIGINT AS sh FROM d),
+d AS (SELECT doc_id, list_transform(tk, x -> md5(x)) AS d0,
+             list_transform(tk, x -> md5('1:' || x)) AS d1 FROM t),
+s AS (SELECT doc_id, [({_simhash64_block_sql(0)}),
+                      ({_simhash64_block_sql(1)}),
+                      ({_simhash64_block_sql(2)}),
+                      ({_simhash64_block_sql(3)})] AS shb FROM d),
 banded AS (
-    SELECT doc_id, sh, b.range AS blk, (sh >> (b.range * 4)::INT) & 15 AS val
-    FROM s, range(8) b
+    SELECT doc_id, shb, b.range::INT AS blk, shb[b.range::INT + 1] AS val
+    FROM s, range(4) b
 ),
 cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, a.sh AS sha, b.doc_id AS id_b, b.sh AS shb
+    SELECT DISTINCT a.doc_id AS id_a, a.shb AS sa, b.doc_id AS id_b, b.shb AS sb
     FROM banded a JOIN banded b ON a.blk = b.blk AND a.val = b.val
     WHERE a.doc_id < b.doc_id
 )
-SELECT id_a, id_b, bit_count(xor(sha, shb))::INT AS hamming
-FROM cand WHERE bit_count(xor(sha, shb)) <= 6
+SELECT * FROM (
+    SELECT id_a, id_b,
+           (bit_count(xor(sa[1], sb[1])) + bit_count(xor(sa[2], sb[2])) +
+            bit_count(xor(sa[3], sb[3])) + bit_count(xor(sa[4], sb[4])))::INT AS hamming
+    FROM cand
+) WHERE hamming <= 3
 """,
         "events_sessions": """
 WITH g AS (

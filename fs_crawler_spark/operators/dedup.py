@@ -247,10 +247,50 @@ def simhash(text_col: str, bits: int = 32):
     return out
 
 
+def simhash_blocks(text_col: str, bits: int = 64, blocks: int = 4):
+    """SimHash as an ARRAY of ``blocks`` block values (block j = bits
+    [j*w, (j+1)*w), w = bits/blocks) instead of one packed integer — this
+    sidesteps BIGINT sign overflow at bit 63 and exposes the pigeonhole
+    bucket key directly (no shift/mask at join time).
+
+    Bit derivation matches :func:`simhash` for bits 0-31 (top bit of hex
+    digit i of md5(token), majority over distinct tokens); bits 32-63 use a
+    second md5 round, md5('1:' || token). Pure Column algebra, cross-engine
+    reproducible (the DuckDB oracle replays the identical arithmetic).
+    """
+    assert bits % blocks == 0 and bits <= 64
+    w = bits // blocks
+    toks = F.array_distinct(ws_tokens(F.col(text_col)))
+    rounds = [F.transform(toks, lambda t: F.md5(t))]
+    if bits > 32:
+        rounds.append(F.transform(toks, lambda t: F.md5(F.concat(F.lit("1:"), t))))
+    n = F.size(toks)
+
+    def bit(i: int):
+        digits = rounds[i // 32]
+        one = F.size(
+            F.filter(
+                digits,
+                lambda h: F.upper(F.substring(h, (i % 32) + 1, 1)).isin(
+                    "8", "9", "A", "B", "C", "D", "E", "F"
+                ),
+            )
+        )
+        return (one * 2 > n).cast("long")
+
+    vals = []
+    for j in range(blocks):
+        v = F.lit(0).cast("long")
+        for t in range(w):
+            v = v + bit(j * w + t) * F.lit(1 << t)
+        vals.append(v)
+    return F.array(*vals)
+
+
 def simhash_near_dup_pairs(
     docs: DataFrame,
     max_hamming: int = 3,
-    bits: int = 32,
+    bits: int = 64,
     blocks: int = 4,
     id_col: str = "doc_id",
     text_col: str = "text",
@@ -262,41 +302,36 @@ def simhash_near_dup_pairs(
     sharing (block_idx, block_value), verified exactly with
     bit_count(a XOR b). Full recall, no unblocked cross join; the shuffle key
     is the (block, value) pair.
+
+    Block width is the scale knob: 64-bit hashes in 4 blocks give 16-bit
+    block values (65,536 distinct bucket values per block), so candidate
+    volume stays ~n·(collision rate) instead of degenerating to all-pairs —
+    the round-1 32-bit/4-bit-block scheme had only 16 values per block and
+    emitted 64% of all possible pairs at n=500 (an all-pairs join in
+    disguise at 10^10 docs). tests/test_text_and_dedup.py asserts the
+    candidate:pair ratio stays far below n^2/2.
     Returns (id_a, id_b, hamming).
     """
     assert blocks > max_hamming, "pigeonhole requires blocks > max_hamming"
-    block_bits = bits // blocks
-    mask = (1 << block_bits) - 1
+    # persist: the 64-term majority expression is the expensive part; both
+    # sides of the self-join read the cached signatures instead of recomputing
     sh = docs.select(
-        F.col(id_col).alias("id"), simhash(text_col, bits).alias("sh")
+        F.col(id_col).alias("id"), simhash_blocks(text_col, bits, blocks).alias("shb")
     ).persist()
     banded = sh.select(
-        "id",
-        "sh",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(b).alias("blk"),
-                        F.shiftright("sh", b * block_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("val"),
-                    )
-                    for b in range(blocks)
-                ]
-            )
-        ).alias("bb"),
-    ).select("id", "sh", F.col("bb.blk").alias("blk"), F.col("bb.val").alias("val"))
-    a = banded.select("blk", "val", F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
-    b = banded.select("blk", "val", F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+        "id", "shb", F.posexplode("shb").alias("blk", "val")
+    )
+    a = banded.select("blk", "val", F.col("id").alias("id_a"), F.col("shb").alias("shb_a"))
+    b = banded.select("blk", "val", F.col("id").alias("id_b"), F.col("shb").alias("shb_b"))
+    hamming = F.lit(0)
+    for j in range(blocks):
+        hamming = hamming + F.bit_count(
+            F.col("shb_a").getItem(j).bitwiseXOR(F.col("shb_b").getItem(j))
+        )
     return (
         a.join(b, on=["blk", "val"])
         .filter(F.col("id_a") < F.col("id_b"))
-        .select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("sh_a").bitwiseXOR(F.col("sh_b"))).alias("hamming"),
-        )
+        .select("id_a", "id_b", hamming.cast("int").alias("hamming"))
         .filter(F.col("hamming") <= max_hamming)
         .distinct()
     )

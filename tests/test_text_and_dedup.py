@@ -130,3 +130,35 @@ def test_simhash_near_dup_pairs_finds_close_texts(spark):
              simhash_near_dup_pairs(df, max_hamming=3, blocks=8).collect()}
     assert pairs.get((1, 2)) == 0
     assert all(3 not in p for p in pairs)
+
+
+def test_simhash_blocking_candidates_bounded(spark, docs):
+    """The pigeonhole blocking must NOT degenerate to all-pairs: with 16-bit
+    block values the candidate join volume stays within a small multiple of
+    the true near-dup output (round-1's 4-bit blocks emitted 64% of all
+    possible pairs — an all-pairs join in disguise)."""
+    from fs_crawler_spark.operators.dedup import (
+        simhash_blocks,
+        simhash_near_dup_pairs,
+    )
+
+    n = docs.count()
+    sh = docs.select(
+        F.col("doc_id").alias("id"), simhash_blocks("text", 64, 4).alias("shb")
+    ).persist()
+    banded = sh.select("id", F.posexplode("shb").alias("blk", "val"))
+    a = banded.select("blk", "val", F.col("id").alias("id_a"))
+    b = banded.select("blk", "val", F.col("id").alias("id_b"))
+    n_cand = (
+        a.join(b, on=["blk", "val"])
+        .filter(F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b")
+        .distinct()
+        .count()
+    )
+    n_out = simhash_near_dup_pairs(docs, max_hamming=3, bits=64, blocks=4).count()
+    all_pairs = n * (n - 1) / 2
+    sh.unpersist()
+    assert n_out > 0  # planted dups guarantee non-trivial output
+    assert n_cand < 0.35 * all_pairs  # not all-pairs
+    assert n_cand < 8 * n_out  # candidates within a small factor of output
