@@ -62,6 +62,7 @@ from fs_crawler_spark.operators.similarity import (
     ann_lsh_topk,
     brute_force_topk,
     cosine,
+    embedding_near_dup_pairs,
 )
 from fs_crawler_spark.plans.crawl import CrawlConfig, read_output, run_crawl
 from fs_crawler_spark.plans.resolve import apply_fact_resolution, apply_resolution
@@ -707,6 +708,17 @@ def q_emb_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_emb_near_dup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SCALE path for embedding near-dup: LSH-bucketed candidate
+    generation over the FULL embeddings table (no crossJoin anywhere) +
+    exact cosine verify. Deterministic hyperplanes make it exactly
+    oracle-checkable — this is the plan that runs at 10^10 vectors; the
+    capped brute-force q_emb_near_dup is the per-bucket kernel oracle."""
+    return embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.2, n_planes=4, dim=64
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LSH-bucketed ANN. The hyperplanes are deterministic md5 constants
     (similarity._hyperplanes), so the "approximate" plan is exactly
@@ -787,6 +799,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_sessions": q_events_sessions,
         "ann_topk": q_ann_topk,
         "emb_near_dup": q_emb_near_dup,
+        "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "ann_lsh": q_ann_lsh,
         "frame_sample": q_frame_sample,
         "media_features": q_media_features,
@@ -831,16 +844,22 @@ def _simhash_sql_bits(bits: int = 32) -> str:
     return " + ".join(terms)
 
 
-def _ann_lsh_sql(k: int = 10, n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
-    """Exact oracle for the LSH ANN query: the deterministic md5-seeded
-    hyperplanes are inlined as double literals (repr() round-trips float64),
-    so bucket assignment and re-ranking replay bit-identically in DuckDB."""
+def _lsh_bucket_sql(n_planes: int, dim: int = 64, seed: int = 42, v: str = "v") -> str:
+    """Hyperplane-LSH bucket expression with the deterministic md5-seeded
+    planes inlined as double literals (repr() round-trips float64), so bucket
+    assignment replays bit-identically in DuckDB."""
     planes = _hyperplanes(dim, n_planes, seed)
-    bucket = " + ".join(
-        f"(CASE WHEN list_dot_product(v, [{', '.join(repr(x) for x in p)}]) >= 0 "
+    return " + ".join(
+        f"(CASE WHEN list_dot_product({v}, [{', '.join(repr(x) for x in p)}]) >= 0 "
         f"THEN {1 << i} ELSE 0 END)"
         for i, p in enumerate(planes)
     )
+
+
+def _ann_lsh_sql(k: int = 10, n_planes: int = 6, dim: int = 64, seed: int = 42) -> str:
+    """Exact oracle for the LSH ANN query: same planes, bucket join + exact
+    cosine re-rank."""
+    bucket = _lsh_bucket_sql(n_planes, dim, seed)
     return f"""
 WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
 b AS (SELECT vec_id, v, ({bucket})::BIGINT AS bucket FROM e),
@@ -856,6 +875,24 @@ SELECT query_id, vec_id, cos,
        row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
 FROM scored
 QUALIFY rank <= {k}
+"""
+
+
+def _emb_lsh_near_dup_sql(
+    threshold: float = 0.2, n_planes: int = 4, dim: int = 64, seed: int = 42
+) -> str:
+    """Exact oracle for the LSH-bucketed near-dup pairs (full-table, no
+    cross join on either engine — the bucket equality restricts the join)."""
+    bucket = _lsh_bucket_sql(n_planes, dim, seed)
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+b AS (SELECT vec_id, v, ({bucket})::BIGINT AS bucket FROM e)
+SELECT * FROM (
+    SELECT a.vec_id AS id_a, c.vec_id AS id_b,
+           round(list_dot_product(a.v, c.v) /
+                 (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
+    FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
+) WHERE cos >= {threshold}
 """
 
 
@@ -1377,6 +1414,9 @@ SELECT doc_id AS media_id,
 FROM documents
 """,
         "ann_lsh": _ann_lsh_sql(k=10, n_planes=6, dim=64, seed=42),
+        "emb_near_dup_lsh": _emb_lsh_near_dup_sql(
+            threshold=0.2, n_planes=4, dim=64, seed=42
+        ),
         # payload = utf-8 of ASCII corpus text, feature = floor-micro-unit
         # byte%8 histogram (multimodal._fake_feature) — exact in integer SQL.
         "media_features": """
