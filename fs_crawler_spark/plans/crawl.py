@@ -80,13 +80,17 @@ class RoundPlan(NamedTuple):
     candidates: DataFrame
 
 
-def _obs_count(obs: Observation, fallback: DataFrame) -> int:
+def _obs_count(obs: Observation, fallback) -> int:
     """Observation value, or a direct count if the JVM metrics row is broken
-    (CollectMetrics over an empty cached subplan can fail toPyRow)."""
+    (CollectMetrics over an empty cached subplan can fail toPyRow).
+    ``fallback`` is a DataFrame or a zero-arg callable returning one —
+    callables let the cheap path (committed-parquet footer counts) be built
+    lazily, only when the observation actually failed."""
     try:
         return int(obs.get["n"])
     except Exception:
-        return fallback.count()
+        df = fallback() if callable(fallback) else fallback
+        return df.count()
 
 
 def seed_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
@@ -112,6 +116,8 @@ def crawl_round(
     """
     obs = observations or {}
     batch, deferred = select_batch(frontier, cfg.host_budget, cfg.salt_n)
+    if "batch" in obs:
+        batch = batch.observe(obs["batch"], F.count(F.lit(1)).alias("n"))
 
     # "Fetch": join against the corpus. A url missing from pages is the
     # 404-analog (session.py:137-146 warn-and-continue): it still enters the
@@ -302,24 +308,43 @@ def run_crawl(
 
         obs = {
             name: Observation(f"{name}_{round_i}")
-            for name in ("fetched", "edges", "raw_candidates", "candidates", "frontier")
+            for name in (
+                "batch",
+                "fetched",
+                "edges",
+                "raw_candidates",
+                "candidates",
+                "frontier",
+            )
         }
         plan = crawl_round(
             pages, frontier, seen, robots, round_i, cfg, obs, bloom_shards
         )
         parsed = plan.parsed.persist()
         batch = plan.batch.persist()
+        snapshot_id = time.time_ns()
 
         # Per-partition lineage (north_rule): rows per partition of this
-        # round's fetch batch (the politeness-window output layout).
-        part_rows = (
-            batch.select(F.spark_partition_id().alias("pid"))
-            .groupBy("pid")
-            .count()
-            .collect()
+        # round's fetch batch (the politeness-window output layout) —
+        # computed DISTRIBUTIVELY as part of the committed crawl_log table,
+        # not collect()ed to the driver (round 1 spent one extra blocking
+        # job per round on exactly this).
+        log_parts = (
+            batch.groupBy(F.spark_partition_id().alias("partition_id"))
+            .agg(F.count(F.lit(1)).alias("urls_in"))
+            .select(
+                F.lit(round_i).cast("int").alias("iteration"),
+                F.col("partition_id").cast("int"),
+                F.lit(0.0).alias("duration"),
+                F.lit(0).cast("long").alias("vertices"),
+                F.lit(0).cast("long").alias("frontier"),
+                F.lit(0).cast("long").alias("edges"),
+                F.col("urls_in").cast("long"),
+                F.lit(0).cast("long").alias("urls_fetched"),
+                F.lit(0).cast("long").alias("urls_deduped"),
+                F.lit(snapshot_id).cast("long").alias("snapshot_id"),
+            )
         )
-        batch_n = sum(int(r["count"]) for r in part_rows)
-        snapshot_id = time.time_ns()
 
         # Periodic seen compaction: write the FULL seen-set this round and
         # flag it in the manifest, so subsequent read_unions start here.
@@ -335,7 +360,8 @@ def run_crawl(
             )
             compacted = ["seen"]
 
-        # The commit writes are the actions that fill every observation.
+        # The commit's 5 concurrent writes are the ONLY actions on the round
+        # critical path; they fill every observation as a side effect.
         store.commit(
             round_i,
             {
@@ -343,13 +369,13 @@ def run_crawl(
                 "seen": seen_out,
                 "vertices": plan.vertices_delta,
                 "edges": plan.edges_delta,
+                "crawl_log": log_parts,
             },
             compacted=compacted,
             # S9 provenance analog (crawler.py:107-122 .settings file): the
             # full run configuration rides in every snapshot manifest.
             meta={
                 "urls_in": urls_in,
-                "batch_n": batch_n,
                 "settings": {
                     "max_rounds": cfg.max_rounds,
                     "host_budget": cfg.host_budget,
@@ -361,35 +387,47 @@ def run_crawl(
                 },
             },
             partition_by={"seen": ["shard"]},
+            snapshot_id=snapshot_id,
         )
-        urls_fetched = _obs_count(obs["fetched"], plan.parsed)
-        n_edges = _obs_count(obs["edges"], plan.edges_delta)
-        n_frontier_next = _obs_count(obs["frontier"], plan.new_frontier)
+        # Metrics are observation reads — zero extra jobs when healthy. Each
+        # fallback (broken CollectMetrics row) counts the cheapest equivalent
+        # source: committed parquet (footer-only scans) or a cached DF.
+        batch_n = _obs_count(obs["batch"], batch)
+        urls_fetched = _obs_count(
+            obs["fetched"], lambda: store.read(spark, round_i, "vertices")
+        )
+        n_edges = _obs_count(
+            obs["edges"], lambda: store.read(spark, round_i, "edges")
+        )
+        n_frontier_next = _obs_count(
+            obs["frontier"], lambda: store.read(spark, round_i, "frontier")
+        )
         n_raw_candidates = _obs_count(obs["raw_candidates"], plan.raw_candidates)
         n_candidates = _obs_count(obs["candidates"], plan.candidates)
         urls_deduped = max(0, n_raw_candidates - n_candidates)
         duration = time.monotonic() - t0
 
-        log_rows = [
-            (round_i, int(r["pid"]), float(duration), 0, 0, 0, int(r["count"]), 0, 0, snapshot_id)
-            for r in part_rows
-        ]
-        log_rows.append(
-            (
-                round_i,
-                -1,
-                float(duration),
-                int(urls_fetched),
-                int(n_frontier_next),
-                int(n_edges),
-                int(batch_n),
-                int(urls_fetched),
-                int(urls_deduped),
-                snapshot_id,
-            )
+        # Round-total row appended post-publish (it needs the observation
+        # values the commit itself produced). Single tiny task; resume never
+        # reads crawl_log, so late totals don't affect snapshot atomicity.
+        totals = spark.createDataFrame(
+            [
+                (
+                    round_i,
+                    -1,
+                    float(duration),
+                    int(urls_fetched),
+                    int(n_frontier_next),
+                    int(n_edges),
+                    int(batch_n),
+                    int(urls_fetched),
+                    int(urls_deduped),
+                    snapshot_id,
+                )
+            ],
+            CRAWL_LOG,
         )
-        crawl_log = spark.createDataFrame(log_rows, CRAWL_LOG)
-        crawl_log.write.mode("overwrite").parquet(
+        totals.coalesce(1).write.mode("append").parquet(
             f"{store._round_dir(round_i)}/crawl_log"
         )
 

@@ -53,9 +53,12 @@ class CheckpointStore:
         meta: dict[str, Any] | None = None,
         partition_by: dict[str, list[str]] | None = None,
         compacted: list[str] | None = None,
+        snapshot_id: int | None = None,
     ) -> int:
-        """Write all tables to staging, then publish atomically. Returns a
-        snapshot id (ns timestamp) recorded in the manifest."""
+        """Write all tables to staging, then publish atomically. Returns the
+        snapshot id (ns timestamp, caller-supplied or generated) recorded in
+        the manifest. ``snapshot_id`` is accepted up front so committed rows
+        (e.g. crawl_log lineage) can embed it without a post-commit rewrite."""
         staging = self._staging_dir(round_i)
         if os.path.exists(staging):
             shutil.rmtree(staging)
@@ -75,7 +78,7 @@ class CheckpointStore:
 
         with ThreadPoolExecutor(max_workers=len(tables)) as pool:
             list(pool.map(_write, tables.items()))
-        snapshot_id = time.time_ns()
+        snapshot_id = snapshot_id or time.time_ns()
         manifest = {
             "round": round_i,
             "snapshot_id": snapshot_id,
