@@ -49,6 +49,8 @@ from fs_crawler_spark.operators.graph import (
     relationship_counts,
     relationships_to_resolve,
     rewrite_relationships,
+    save_valid_graph,
+    validator_stats,
     with_positions,
 )
 from fs_crawler_spark.operators.multimodal import (
@@ -468,6 +470,42 @@ def q_validator_iteration_histo(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_validator_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPLETE A5/J8 validator counter row (graph_validator.py:228-246):
+    vertex/edge/frontier/unknown-vertex counts, child count, the 7 invalid
+    buckets, max father/mother, roots, resolution + invalid source counts.
+    Suppliers with s_suppkey % 7 == 0 are held out of the graph — half queued
+    in the frontier, half absent entirely — so unknown-vertex detection
+    (edge dest ∉ vertices ∧ ∉ frontier) is non-trivially exercised."""
+    edges, vertices = _validator_graph(spark, sf_dir)
+    is_sup = F.col("id").startswith("S")
+    k = F.substring(F.col("id"), 2, 30).cast("long")
+    held_out = is_sup & (k % 7 == 0)
+    graph_vertices = vertices.filter(~held_out)
+    frontier = vertices.filter(held_out & (k % 14 == 0)).select("id")
+    out = validator_stats(edges, graph_vertices, frontier)
+    return out.select(*[F.col(c).cast("long").alias(c) for c in out.columns])
+
+
+def q_validated_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """save_valid_graph edge output (graph_validator.py:207-217): renumbered
+    (source, destination) pairs with invalid children's edges dropped."""
+    edges, vertices = _validator_graph(spark, sf_dir)
+    _, valid_edges, _ = save_valid_graph(vertices, edges)
+    return valid_edges.select(
+        F.col("source_number").cast("long").alias("source_number"),
+        F.col("destination_number").cast("long").alias("destination_number"),
+    )
+
+
+def q_invalid_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """save_valid_graph invalid output (graph_validator.py:219-225): every
+    relationship id of every invalid child."""
+    edges, vertices = _validator_graph(spark, sf_dir)
+    _, _, invalid_edges = save_valid_graph(vertices, edges)
+    return invalid_edges
+
+
 def q_birth_year_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P6 lifespan parse, including the reference's '-1'-substring quirk."""
     docs = _docs(spark, sf_dir)
@@ -781,6 +819,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "validator_invalid": q_validator_invalid,
         "validator_decade_histo": q_validator_decade_histo,
         "validator_iteration_histo": q_validator_iteration_histo,
+        "validator_stats": q_validator_stats,
+        "validated_edges": q_validated_edges,
+        "invalid_edges": q_invalid_edges,
         "rewrite_relationships": q_rewrite_relationships,
         "birth_year_parse": q_birth_year_parse,
         "tpch_q1": q_tpch_q1,
@@ -893,6 +934,123 @@ SELECT * FROM (
                  (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(c.v, c.v))), 6) AS cos
     FROM b a JOIN b c ON a.bucket = c.bucket AND a.vec_id < c.vec_id
 ) WHERE cos >= {threshold}
+"""
+
+
+# lineitem-derived persons graph (mirrors _validator_graph): edges typed by
+# l_linenumber % 3, vertices for BOTH suppliers (S-prefixed) and orders
+# (O-prefixed) with color = key % 3 - 1; inv = invalid children (total > 2).
+_LI_EDGES_CTE = """
+edges AS (
+    SELECT 'O' || l_orderkey::VARCHAR AS source, 'S' || l_suppkey::VARCHAR AS destination,
+           CASE WHEN l_linenumber % 3 = 0 THEN 'BiologicalParent'
+                WHEN l_linenumber % 3 = 1 THEN 'UnspecifiedParentType'
+                ELSE 'UntypedParent' END AS type,
+           l_partkey::VARCHAR AS id
+    FROM lineitem
+)"""
+
+_LI_INV_CTE = """
+vc AS (
+    SELECT e.source,
+           CAST(sum(CASE WHEN v.color = -1 THEN 1 ELSE 0 END) AS BIGINT) AS male,
+           CAST(sum(CASE WHEN v.color = 1 THEN 1 ELSE 0 END) AS BIGINT) AS female,
+           CAST(sum(CASE WHEN v.color = 0 THEN 1 ELSE 0 END) AS BIGINT) AS unknown,
+           count(*) AS total
+    FROM edges e JOIN vertices v ON v.id = e.destination
+    WHERE e.type IN ('BiologicalParent', 'UnspecifiedParentType')
+    GROUP BY e.source
+),
+inv AS (
+    SELECT *, CASE WHEN male > 1 AND female > 1 AND unknown > 1 THEN 'male_female_unknown'
+                   WHEN female > 1 AND unknown > 1 THEN 'female_unknown'
+                   WHEN male > 1 AND unknown > 1 THEN 'male_unknown'
+                   WHEN male > 1 AND female > 1 THEN 'male_female'
+                   WHEN male > 1 THEN 'father'
+                   WHEN female > 1 THEN 'mother'
+                   ELSE 'unknown' END AS bucket
+    FROM vc WHERE total > 2
+)"""
+
+_VALID_GRAPH_CTES = f"""
+WITH {_LI_EDGES_CTE.strip()},
+vertices AS (
+    SELECT 'S' || s_suppkey::VARCHAR AS id, (s_suppkey % 3 - 1)::INT AS color FROM supplier
+    UNION ALL
+    SELECT 'O' || o_orderkey::VARCHAR AS id, (o_orderkey % 3 - 1)::INT AS color FROM orders
+),
+{_LI_INV_CTE.strip()}"""
+
+
+def _validator_stats_sql() -> str:
+    """One-row validator stats oracle: suppliers with s_suppkey % 7 == 0 are
+    held out of the graph (half in the frontier, half unknown)."""
+    buckets = ", ".join(
+        f"CAST(sum(CASE WHEN bucket = '{b}' THEN 1 ELSE 0 END) AS BIGINT) AS inv_{b}"
+        for b in (
+            "male_female_unknown",
+            "male_unknown",
+            "female_unknown",
+            "male_female",
+            "father",
+            "mother",
+            "unknown",
+        )
+    )
+    return f"""
+WITH {_LI_EDGES_CTE.strip()},
+vertices AS (
+    SELECT 'S' || s_suppkey::VARCHAR AS id, (s_suppkey % 3 - 1)::INT AS color
+    FROM supplier WHERE s_suppkey % 7 != 0
+    UNION ALL
+    SELECT 'O' || o_orderkey::VARCHAR AS id, (o_orderkey % 3 - 1)::INT AS color FROM orders
+),
+frontier AS (
+    SELECT 'S' || s_suppkey::VARCHAR AS id FROM supplier
+    WHERE s_suppkey % 7 = 0 AND s_suppkey % 14 = 0
+),
+{_LI_INV_CTE.strip()},
+invagg AS (
+    SELECT CAST(count(*) AS BIGINT) AS n_invalid_src,
+           CAST(coalesce(max(CASE WHEN male > 1 THEN male END), 0) AS BIGINT) AS max_father,
+           CAST(coalesce(max(CASE WHEN female > 1 THEN female END), 0) AS BIGINT) AS max_mother,
+           {buckets}
+    FROM inv
+),
+unk AS (
+    SELECT CAST(count(*) AS BIGINT) AS unknown_vertex_count FROM (
+        SELECT DISTINCT destination FROM edges
+        WHERE destination NOT IN (SELECT id FROM vertices)
+          AND destination NOT IN (SELECT id FROM frontier))
+),
+valch AS (
+    SELECT CAST(count(DISTINCT e.source) AS BIGINT) AS n_val
+    FROM edges e JOIN vertices v ON v.id = e.destination
+    WHERE e.type IN ('BiologicalParent', 'UnspecifiedParentType')
+),
+resch AS (
+    SELECT CAST(count(DISTINCT e.source) AS BIGINT) AS n_res
+    FROM edges e JOIN vertices v ON v.id = e.destination
+    WHERE e.type = 'UntypedParent'
+),
+res2 AS (
+    SELECT CAST(count(DISTINCT source) AS BIGINT) AS n_resolution_src FROM (
+        SELECT e.source FROM edges e JOIN vertices v ON v.id = e.destination
+        WHERE e.type = 'UntypedParent'
+        GROUP BY e.source, v.color HAVING count(*) > 1)
+)
+SELECT (SELECT CAST(count(*) AS BIGINT) FROM vertices) AS vertex_count,
+       (SELECT CAST(count(*) AS BIGINT) FROM edges) AS edge_count,
+       (SELECT CAST(count(*) AS BIGINT) FROM frontier) AS frontier_vertex_count,
+       unk.unknown_vertex_count,
+       (valch.n_val + resch.n_res)::BIGINT AS child_count,
+       invagg.inv_male_female_unknown, invagg.inv_male_unknown,
+       invagg.inv_female_unknown, invagg.inv_male_female,
+       invagg.inv_father, invagg.inv_mother, invagg.inv_unknown,
+       invagg.max_father, invagg.max_mother,
+       0::BIGINT AS no_rel_count,
+       res2.n_resolution_src, invagg.n_invalid_src
+FROM unk, valch, resch, res2, invagg
 """
 
 
@@ -1151,6 +1309,19 @@ SELECT source, destination, type, id,
        CASE WHEN type IN ('UntypedParent', 'UnspecifiedParentType', 'BiologicalParent')
             THEN 'main' ELSE 'aux' END AS routed
 FROM applied
+""",
+        "validator_stats": _validator_stats_sql(),
+        "validated_edges": _VALID_GRAPH_CTES + """
+, numbered AS (SELECT id, row_number() OVER (ORDER BY id) AS vertex_number FROM vertices)
+SELECT ns.vertex_number::BIGINT AS source_number, nd.vertex_number::BIGINT AS destination_number
+FROM edges e
+JOIN numbered ns ON ns.id = e.source
+JOIN numbered nd ON nd.id = e.destination
+WHERE e.source NOT IN (SELECT source FROM inv)
+""",
+        "invalid_edges": _VALID_GRAPH_CTES + """
+SELECT DISTINCT e.source, e.id AS relationship_id
+FROM edges e WHERE e.source IN (SELECT source FROM inv)
 """,
         "validator_decade_histo": """
 WITH edges AS (

@@ -195,6 +195,174 @@ def invalid_by_iteration_histogram(edges: DataFrame, vertices: DataFrame) -> Dat
     )
 
 
+def unknown_vertices(
+    edges: DataFrame, vertices: DataFrame, frontier: DataFrame
+) -> DataFrame:
+    """J8/A5 unknown-vertex detection (graph_validator.py:109-119): edge
+    destinations that are neither fetched (in vertices) nor queued (in
+    frontier) — a crawl-consistency warning in the reference. Two anti-joins;
+    both right sides are the small dimension and broadcast."""
+    v = vertices.select(F.col("id").alias("destination"))
+    f = frontier.select(F.col("id").alias("destination"))
+    return (
+        edges.select("destination")
+        .distinct()
+        .join(v, on="destination", how="left_anti")
+        .join(f, on="destination", how="left_anti")
+        .select(F.col("destination").alias("id"))
+    )
+
+
+def validator_stats(
+    edges: DataFrame, vertices: DataFrame, frontier: DataFrame
+) -> DataFrame:
+    """The complete A5 counter row (graph_validator.py:51-66 fields +
+    get_validation_stats:228-246): vertex/edge/frontier/unknown counts,
+    child count, the 7 invalid buckets, max-father/max-mother, roots
+    (no-rel) count, resolution and invalid source counts.
+
+    Everything reduces to one row via independent single-row aggregates
+    cross-joined together — each input is scanned once, no collect().
+
+    Note on ``no_rel_count``: the reference increments it for validation
+    children whose gender counts are all zero, but its counter dict only
+    creates entries by incrementing (graph_validator.py:110-115), so the
+    count is structurally 0; reproduced faithfully.
+    """
+    inv = invalid_children(edges, vertices)
+    inv_row = inv.agg(
+        F.count("*").alias("n_invalid_src"),
+        F.coalesce(
+            F.max(F.when(F.col("male") > 1, F.col("male"))), F.lit(0)
+        ).alias("max_father"),
+        F.coalesce(
+            F.max(F.when(F.col("female") > 1, F.col("female"))), F.lit(0)
+        ).alias("max_mother"),
+        *[
+            F.sum(F.when(F.col("bucket") == b, 1).otherwise(0)).alias(f"inv_{b}")
+            for b in (
+                "male_female_unknown",
+                "male_unknown",
+                "female_unknown",
+                "male_female",
+                "father",
+                "mother",
+                "unknown",
+            )
+        ],
+    )
+    base = (
+        vertices.agg(F.count("*").alias("vertex_count"))
+        .crossJoin(edges.agg(F.count("*").alias("edge_count")))
+        .crossJoin(frontier.agg(F.count("*").alias("frontier_vertex_count")))
+        .crossJoin(
+            unknown_vertices(edges, vertices, frontier).agg(
+                F.count("*").alias("unknown_vertex_count")
+            )
+        )
+    )
+    # child_count = |validation children| + |resolution children| (the
+    # reference sums both dict sizes, double-counting overlaps — preserved).
+    parents = vertices.select(F.col("id").alias("destination"))
+    val_children = (
+        edges.filter(F.col("type").isin(*RELATIONSHIP_VALIDATIONS))
+        .join(parents, on="destination", how="left_semi")
+        .select("source")
+        .distinct()
+        .agg(F.count("*").alias("n_val_children"))
+    )
+    res_children = (
+        edges.filter(F.col("type").isin(*RELATIONSHIPS_RESOLUTIONS))
+        .join(parents, on="destination", how="left_semi")
+        .select("source")
+        .distinct()
+        .agg(F.count("*").alias("n_res_children"))
+    )
+    n_resolution = children_needing_resolution(edges, vertices).agg(
+        F.count("*").alias("n_resolution_src")
+    )
+    return (
+        base.crossJoin(val_children)
+        .crossJoin(res_children)
+        .crossJoin(inv_row)
+        .crossJoin(n_resolution)
+        .select(
+            "vertex_count",
+            "edge_count",
+            "frontier_vertex_count",
+            "unknown_vertex_count",
+            (F.col("n_val_children") + F.col("n_res_children")).alias("child_count"),
+            "inv_male_female_unknown",
+            "inv_male_unknown",
+            "inv_female_unknown",
+            "inv_male_female",
+            "inv_father",
+            "inv_mother",
+            "inv_unknown",
+            "max_father",
+            "max_mother",
+            F.lit(0).cast("long").alias("no_rel_count"),
+            "n_resolution_src",
+            "n_invalid_src",
+        )
+    )
+
+
+def save_valid_graph(
+    vertices: DataFrame, edges: DataFrame
+) -> tuple[DataFrame, DataFrame, DataFrame]:
+    """save_valid_graph (graph_validator.py:194-225): renumber vertices
+    1..N, drop edges whose source child is invalid, and list the invalid
+    children's relationship ids.
+
+    Returns (validated_vertices, validated_edges, invalid_edges):
+      validated_vertices  (vertex_number, id, color, surname, given_name,
+                           iteration, lifespan) — 1-based canonical order
+      validated_edges     (source_number, destination_number)
+      invalid_edges       (source, relationship_id) — every rel id of every
+                          invalid child (child_to_rel covers ALL edge types,
+                          graph_validator.py:108)
+
+    Ordering note: the reference numbers vertices in file-write order; the
+    engine's canonical order is lexicographic by id (the same deterministic
+    convention as every CSV export here), via the distributed
+    ``with_positions`` — no single-task sort.
+    """
+    vp = with_positions(vertices, order_col="id", distributed=True).withColumn(
+        "vertex_number", (F.col("position") + 1).cast("long")
+    )
+    numbers = vp.select("id", "vertex_number")
+    invalid_src = invalid_children(edges, vertices).select(F.col("source")).distinct()
+    valid_edges = (
+        edges.join(invalid_src, on="source", how="left_anti")
+        .join(
+            numbers.select(
+                F.col("id").alias("source"), F.col("vertex_number").alias("source_number")
+            ),
+            on="source",
+            how="inner",
+        )
+        .join(
+            numbers.select(
+                F.col("id").alias("destination"),
+                F.col("vertex_number").alias("destination_number"),
+            ),
+            on="destination",
+            how="inner",
+        )
+        .select("source_number", "destination_number")
+    )
+    invalid_edges = (
+        edges.join(invalid_src, on="source", how="left_semi")
+        .select("source", F.col("id").alias("relationship_id"))
+        .distinct()
+    )
+    validated_vertices = vp.select(
+        "vertex_number", "id", "color", "surname", "given_name", "iteration", "lifespan"
+    )
+    return validated_vertices, valid_edges, invalid_edges
+
+
 def children_needing_resolution(edges: DataFrame, vertices: DataFrame) -> DataFrame:
     """Children whose UNTYPED edges have >1 same-gender parent
     (graph_validator.py:161-164)."""
