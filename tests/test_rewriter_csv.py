@@ -55,3 +55,75 @@ def test_csv_roundtrip(spark, tmp_path):
 
     header = open(glob.glob(f"{out}/vertices.csv/part-*.csv")[0]).readline().strip()
     assert header.replace('"', "") == "#external_id,color,name,iteration,lifespan"
+
+
+def test_full_csv_family(spark, tmp_path):
+    """All six reference files (graph_io.py:12-16) + validated/invalid
+    exports (graph_validator.py:194-225) write and read back consistently."""
+    import glob
+
+    from fs_crawler_spark.sources.csv_compat import (
+        read_frontier_vertices_csv,
+        write_crawl_csv,
+        write_validated_csv,
+    )
+
+    vertices = spark.createDataFrame(
+        [
+            ("A", 0, None, None, 0, ""),
+            ("B", -1, "Doe", "Jo", 1, "1900-1980"),
+            ("C", 1, None, None, 1, "Living"),
+            ("D", -1, None, None, 2, ""),
+        ],
+        "id string, color int, surname string, given_name string, iteration int, lifespan string",
+    )
+    edges = spark.createDataFrame(
+        [
+            ("A", "B", "UntypedParent", "R1"),   # within from iter 1
+            ("A", "C", "UntypedParent", "R2"),   # within from iter 1
+            ("B", "D", "UntypedParent", "R3"),   # within from iter 2
+            ("B", "X", "UntypedParent", "R4"),   # spanning forever (X unfetched)
+        ],
+        "source string, destination string, type string, id string",
+    )
+    frontier = spark.createDataFrame([("X",), ("Y",)], "url string")
+    crawl_log = spark.createDataFrame(
+        [(0, -1, 0.5, 1, 3, 0, 1, 1, 0, 1), (1, -1, 0.4, 2, 2, 2, 2, 2, 0, 2),
+         (2, -1, 0.3, 1, 2, 2, 1, 1, 0, 3)],
+        "iteration int, partition_id int, duration double, vertices long, "
+        "frontier long, edges long, urls_in long, urls_fetched long, "
+        "urls_deduped long, snapshot_id long",
+    )
+    out = str(tmp_path / "csvfam")
+    paths = write_crawl_csv(vertices, edges, frontier, crawl_log, out, basename="g")
+    assert len(paths) == 6 and all(glob.glob(f"{p}/part-*.csv") for p in paths.values())
+
+    # class routing: 3 within, 1 spanning, 0 frontier
+    n_within = spark.read.option("header", True).csv(paths["edges"]).count()
+    n_span = spark.read.option("header", True).csv(paths["spanning_edges"]).count()
+    n_front = spark.read.option("header", True).csv(paths["frontier_edges"]).count()
+    assert (n_within, n_span, n_front) == (3, 1, 0)
+
+    fv = read_frontier_vertices_csv(spark, paths["frontier_vertices"])
+    assert sorted(r["id"] for r in fv.collect()) == ["X", "Y"]
+
+    log = spark.read.option("header", True).csv(paths["log"]).collect()
+    rows = {int(r["#iteration"]): r for r in log}
+    assert len(rows) == 3
+    # cumulative vertices: 1, 3, 4; within edges appear at max(si, di)
+    assert [int(rows[k]["vertices"]) for k in (0, 1, 2)] == [1, 3, 4]
+    assert [int(rows[k]["edges"]) for k in (0, 1, 2)] == [0, 2, 3]
+    # iter 0: A->B, A->C discovered but B, C unfetched -> both spanning;
+    # iter 1 they become within and B->D, B->X appear (D unfetched, X never)
+    assert [int(rows[k]["spanning_edges"]) for k in (0, 1, 2)] == [2, 2, 1]
+    # frontier column passes through from the engine log
+    assert [int(rows[k]["frontier"]) for k in (0, 1, 2)] == [3, 2, 2]
+
+    vpaths = write_validated_csv(vertices, edges, out, basename="g")
+    vv = spark.read.option("header", True).csv(vpaths["validated_vertices"])
+    assert vv.columns == ["vertex_number", "external_id", "color", "name",
+                          "iteration", "lifespan"]
+    assert vv.count() == 4
+    # no invalid children here -> all edges with both endpoints known survive
+    ve = spark.read.csv(vpaths["validated_edges"])
+    assert ve.count() == 3
