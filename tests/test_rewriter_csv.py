@@ -127,3 +127,43 @@ def test_full_csv_family(spark, tmp_path):
     # no invalid children here -> all edges with both endpoints known survive
     ve = spark.read.csv(vpaths["validated_edges"])
     assert ve.count() == 3
+
+
+def test_migrate_job_end_to_end(spark, tmp_path):
+    """S8: CSV family -> parquet lake migration with count verification."""
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    from migrate_job import migrate
+
+    from fs_crawler_spark.sources.csv_compat import write_crawl_csv
+
+    vertices = spark.createDataFrame(
+        [("A", 0, None, None, 0, ""), ("B", -1, "Doe", "Jo", 1, "1900-1980")],
+        "id string, color int, surname string, given_name string, iteration int, lifespan string",
+    )
+    edges = spark.createDataFrame(
+        [("A", "B", "UntypedParent", "R1"), ("A", "X", "UntypedParent", "R2")],
+        "source string, destination string, type string, id string",
+    )
+    frontier = spark.createDataFrame([("X",)], "url string")
+    crawl_log = spark.createDataFrame(
+        [(0, -1, 0.5, 1, 1, 0, 1, 1, 0, 1), (1, -1, 0.4, 1, 1, 1, 1, 1, 0, 2)],
+        "iteration int, partition_id int, duration double, vertices long, "
+        "frontier long, edges long, urls_in long, urls_fetched long, "
+        "urls_deduped long, snapshot_id long",
+    )
+    csv_dir = str(tmp_path / "legacy")
+    write_crawl_csv(vertices, edges, frontier, crawl_log, csv_dir, basename="m")
+    out = str(tmp_path / "lake")
+    result = migrate(spark, csv_dir, "m", out)
+    assert result["verified"]
+    assert result["stats"]["vertices"] == 2
+    assert result["stats"]["edges"] == 1          # within: A->B
+    assert result["stats"]["spanning_edges"] == 1  # A->X
+    assert result["stats"]["frontier_vertices"] == 1
+    assert result["stats"]["log_entries"] == 2
+    v = spark.read.parquet(f"{out}/vertices").collect()
+    by_id = {r["id"]: r for r in v}
+    assert by_id["B"]["surname"] == "Doe" and by_id["B"]["given_name"] == "Jo"
+    assert by_id["A"]["surname"] == "" and by_id["A"]["given_name"] == ""
