@@ -49,8 +49,11 @@ from fs_crawler_spark.operators.graph import (
     relationship_counts,
     relationships_to_resolve,
     rewrite_relationships,
+    load_ordering,
+    save_ordering,
     save_valid_graph,
     validator_stats,
+    vertex_key,
     with_positions,
 )
 from fs_crawler_spark.operators.multimodal import (
@@ -258,6 +261,24 @@ def q_csr_export(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("row").cast("int").alias("row"),
         F.col("col").cast("int").alias("col"),
         F.col("val").cast("int").alias("val"),
+    )
+
+
+def q_vertex_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2/J5 ORDERING persistence round-trip (db_reader.py:46-58, 308-316):
+    compute positions once (distributed), WRITE the ordering table, reload
+    it, and serve the position-keyed person lookup from the persisted copy."""
+    ckpt = _crawled(spark, sf_dir, "persons", 40)
+    vertices = read_output(spark, ckpt, "vertices")
+    vp = with_positions(vertices, order_col="id", distributed=True)
+    save_ordering(vp, f"{ckpt}/ordering")
+    ordering = load_ordering(spark, f"{ckpt}/ordering")
+    out = vertex_key(vertices, ordering)
+    return out.select(
+        F.col("position").cast("long").alias("position"),
+        "id",
+        "given_name",
+        "surname",
     )
 
 
@@ -811,6 +832,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "persons_edges_final": q_persons_edges_final,
         "rels_to_resolve": q_rels_to_resolve,
         "csr_export": q_csr_export,
+        "vertex_key": q_vertex_key,
         "frontier_antijoin": q_frontier_antijoin,
         "link_edges": q_link_edges,
         "politeness_window": q_politeness_window,
@@ -1155,6 +1177,23 @@ FROM mins m JOIN urls u ON u.d = m.d
 WITH RECURSIVE {_CTES},
 {_PERSONS_PIPE}
 SELECT source, destination, type, id FROM resolved_edges
+""",
+        "vertex_key": f"""
+WITH RECURSIVE {_CTES},
+bfs(d, iter) AS (
+    SELECT 0, 0
+    UNION
+    SELECT l.dst, b.iter + 1 FROM bfs b JOIN links l ON l.src = b.d
+    WHERE b.iter + 1 <= 39
+),
+mins AS (SELECT d, min(iter) AS iteration FROM bfs GROUP BY d),
+verts AS (
+    SELECT u.url AS id, 'S' || (m.d % 50) AS surname, 'G' || (m.d % 97) AS given_name
+    FROM mins m JOIN urls u ON u.d = m.d
+)
+SELECT (row_number() OVER (ORDER BY id) - 1)::BIGINT AS position,
+       id, given_name, surname
+FROM verts
 """,
         "persons_edges_final": f"""
 WITH RECURSIVE {_CTES},

@@ -453,6 +453,31 @@ def with_positions(
     )
 
 
+def save_ordering(vertices_pos: DataFrame, path: str) -> None:
+    """ORDERING persistence (db_reader.py:308-316 save_ordering): write the
+    canonical (id, position) table once; every downstream ordered consumer
+    (CSR assembly, vertex_key, ordered_edges) joins against it instead of
+    re-sorting the vertex set. At 10^10 vertices the ordering is computed
+    once per graph build, exactly like the reference's SQLite ORDERING table
+    (whose ORDER_INDEX this parquet layout replaces)."""
+    vertices_pos.select("id", "position").write.mode("overwrite").parquet(path)
+
+
+def load_ordering(spark, path: str) -> DataFrame:
+    """Reload a persisted ORDERING table (db_reader.py:46-58 join source)."""
+    return spark.read.parquet(path)
+
+
+def vertex_key(vertices: DataFrame, ordering: DataFrame) -> DataFrame:
+    """vertex_key_query (db_reader.py:46-50, get_vertex_key :318-330):
+    (position, id, given_name, surname) — the position-keyed person lookup.
+    Positions are 0-based (engine-wide CSR convention; the reference's
+    SQLite table is 1-based, db_reader.py:316)."""
+    return vertices.join(ordering, on="id", how="inner").select(
+        "position", "id", "given_name", "surname"
+    )
+
+
 def csr_entries(vertices_pos: DataFrame, edges: DataFrame) -> DataFrame:
     """Red-black adjacency entries (test_db_reader.py:15-45 semantics):
     one diagonal entry per vertex (val = color) + one entry per
