@@ -6,12 +6,22 @@ unseen skip the expensive anti-join probe; "maybe seen" candidates go through
 the exact anti-join. Correctness NEVER depends on the false-positive rate
 (SURVEY.md §7 hard part (e)) — the exact anti-join is always the authority.
 
-Build: groupBy(shard).applyInPandas — one numpy bitmap per seen-set shard,
-the UDAF-analog. Probe: broadcast the shard blobs, mapInPandas membership
-test. At 10^10 URLs with 1% fpp the filter is ~12 GB total across shards —
-each executor holds only the shards it probes; the driver round-trip here is
-the local-mode simplification of an Iceberg puffin-blob / executor-cached
-distribution.
+The filter state is a DATAFRAME of per-shard bitmap blobs — it never passes
+through the driver:
+
+  build:  groupBy(shard).applyInPandas -> one numpy bitmap row per shard
+          (the UDAF analog);
+  merge:  union + groupBy(shard).applyInPandas bitwise-OR (incremental
+          accumulation across rounds);
+  probe:  candidates cogrouped with the blob table on shard — each task
+          receives one shard's candidates plus that shard's single blob row.
+          Shuffle volume = the candidates (which shuffle on the same key for
+          the exact anti-join anyway) + each blob once.
+
+At 10^10 URLs / 1% fpp the blobs total ~12 GB ACROSS shards; with 4096
+shards that is ~3 MB per task — nothing ever materializes in one place.
+(Round 1 collected the dict to the driver and broadcast it back; that
+driver round-trip is exactly what this layout removes.)
 
 Hashing: double-hashing over blake2b(url) — pure stdlib, deterministic
 across processes (PYTHONHASHSEED-independent).
@@ -21,12 +31,11 @@ from __future__ import annotations
 
 import hashlib
 import math
-from collections.abc import Iterator
 
 import numpy as np
 import pandas as pd
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql.types import (
     BinaryType,
@@ -38,11 +47,21 @@ from pyspark.sql.types import (
     StructType,
 )
 
-_BUILD_SCHEMA = StructType(
+BLOOM_SCHEMA = StructType(
     [
         StructField("shard", IntegerType(), False),
         StructField("n_items", LongType(), False),
+        StructField("m", LongType(), False),
+        StructField("k", IntegerType(), False),
         StructField("bits", BinaryType(), False),
+    ]
+)
+
+_PROBE_SCHEMA = StructType(
+    [
+        StructField("url", StringType(), False),
+        StructField("url_hash", LongType(), False),
+        StructField("maybe_seen", BooleanType(), False),
     ]
 )
 
@@ -64,8 +83,9 @@ def _positions(url: str, m: int, k: int) -> list[int]:
 
 def build_bloom_shards(
     seen: DataFrame, n_shards: int, expected_per_shard: int = 100_000, fpp: float = 0.01
-) -> dict[int, tuple[bytes, int, int]]:
-    """One bloom bitmap per seen-set shard -> {shard: (bits, m, k)}."""
+) -> DataFrame:
+    """One bloom bitmap row per seen-set shard: (shard, n_items, m, k, bits).
+    Fully distributed — the blobs stay executor-side as a DataFrame."""
     m, k = _params(expected_per_shard, fpp)
 
     def build(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -74,79 +94,86 @@ def build_bloom_shards(
             for pos in _positions(url, m, k):
                 bits[pos >> 3] |= 1 << (pos & 7)
         return pd.DataFrame(
-            {"shard": [int(pdf["shard"].iloc[0])], "n_items": [len(pdf)], "bits": [bits.tobytes()]}
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_items": [len(pdf)],
+                "m": [m],
+                "k": [k],
+                "bits": [bits.tobytes()],
+            }
         )
 
-    shards = (
+    return (
         seen.withColumn("shard", F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int"))
         .select("shard", "url")
         .groupBy("shard")
-        .applyInPandas(build, _BUILD_SCHEMA)
-        .collect()
+        .applyInPandas(build, BLOOM_SCHEMA)
     )
-    return {int(r["shard"]): (bytes(r["bits"]), m, k) for r in shards}
 
 
-def merge_bloom_shards(
-    a: dict[int, tuple[bytes, int, int]] | None,
-    b: dict[int, tuple[bytes, int, int]],
-) -> dict[int, tuple[bytes, int, int]]:
+def merge_bloom_shards(a: DataFrame | None, b: DataFrame) -> DataFrame:
     """Bitwise-OR per-shard bitmaps (incremental build: OR each round's delta
-    into the accumulated filter; all blobs share (m, k))."""
+    into the accumulated filter; blobs must share (m, k))."""
     if a is None:
-        return dict(b)
-    out = dict(a)
-    for shard, (bits, m, k) in b.items():
-        if shard in out:
-            obits, om, ok = out[shard]
-            assert (om, ok) == (m, k), "bloom params must match to merge"
-            merged = (
-                np.frombuffer(obits, dtype=np.uint8) | np.frombuffer(bits, dtype=np.uint8)
-            ).tobytes()
-            out[shard] = (merged, m, k)
-        else:
-            out[shard] = (bits, m, k)
-    return out
+        return b
+
+    def or_merge(pdf: pd.DataFrame) -> pd.DataFrame:
+        ms = pdf["m"].unique()
+        ks = pdf["k"].unique()
+        assert len(ms) == 1 and len(ks) == 1, "bloom params must match to merge"
+        acc = np.frombuffer(pdf["bits"].iloc[0], dtype=np.uint8).copy()
+        for blob in pdf["bits"].iloc[1:]:
+            acc |= np.frombuffer(blob, dtype=np.uint8)
+        return pd.DataFrame(
+            {
+                "shard": [int(pdf["shard"].iloc[0])],
+                "n_items": [int(pdf["n_items"].sum())],
+                "m": [int(ms[0])],
+                "k": [int(ks[0])],
+                "bits": [acc.tobytes()],
+            }
+        )
+
+    return a.unionByName(b).groupBy("shard").applyInPandas(or_merge, BLOOM_SCHEMA)
 
 
 def bloom_prefilter(
-    spark: SparkSession,
-    candidates: DataFrame,
-    shards: dict[int, tuple[bytes, int, int]],
-    n_shards: int,
+    candidates: DataFrame, bloom: DataFrame, n_shards: int
 ) -> DataFrame:
     """Add ``maybe_seen`` per candidate; rows with maybe_seen = false can skip
-    the exact anti-join (they are definitely new)."""
-    bc = spark.sparkContext.broadcast(shards)
+    the exact anti-join (definitely new). Cogroup on shard: each task gets
+    one shard's candidates and that shard's blob row — no broadcast, no
+    driver round-trip. A shard with no blob row has no seen items, so its
+    candidates are all definitely-new."""
 
-    schema = StructType(
-        [
-            StructField("url", StringType(), False),
-            StructField("url_hash", LongType(), False),
-            StructField("maybe_seen", BooleanType(), False),
-        ]
-    )
-
-    def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        blobs = bc.value
-        arrays = {
-            s: (np.frombuffer(bits, dtype=np.uint8), m, k)
-            for s, (bits, m, k) in blobs.items()
-        }
-        for pdf in it:
-            flags = []
-            for url, h in zip(pdf["url"], pdf["url_hash"]):
-                shard = int(h) % n_shards
-                entry = arrays.get(shard)
-                if entry is None:
-                    flags.append(False)
-                    continue
-                bits, m, k = entry
-                flags.append(
-                    all(bits[p >> 3] & (1 << (p & 7)) for p in _positions(url, m, k))
-                )
-            yield pd.DataFrame(
-                {"url": pdf["url"], "url_hash": pdf["url_hash"], "maybe_seen": flags}
+    def probe(cdf: pd.DataFrame, bdf: pd.DataFrame) -> pd.DataFrame:
+        if cdf.empty:
+            return pd.DataFrame({"url": [], "url_hash": [], "maybe_seen": []}).astype(
+                {"url": object, "url_hash": "int64", "maybe_seen": bool}
             )
+        if bdf.empty:
+            flags = [False] * len(cdf)
+        else:
+            acc = np.frombuffer(bdf["bits"].iloc[0], dtype=np.uint8).copy()
+            for blob in bdf["bits"].iloc[1:]:
+                acc |= np.frombuffer(blob, dtype=np.uint8)
+            m = int(bdf["m"].iloc[0])
+            k = int(bdf["k"].iloc[0])
+            flags = [
+                all(acc[p >> 3] & (1 << (p & 7)) for p in _positions(url, m, k))
+                for url in cdf["url"]
+            ]
+        return pd.DataFrame(
+            {"url": cdf["url"], "url_hash": cdf["url_hash"], "maybe_seen": flags}
+        )
 
-    return candidates.select("url", "url_hash").mapInPandas(probe, schema)
+    cand = candidates.select(
+        "url",
+        "url_hash",
+        F.pmod(F.col("url_hash"), F.lit(n_shards)).cast("int").alias("shard"),
+    )
+    return (
+        cand.groupBy("shard")
+        .cogroup(bloom.groupBy("shard"))
+        .applyInPandas(lambda left, right: probe(left, right), _PROBE_SCHEMA)
+    )

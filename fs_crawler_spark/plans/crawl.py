@@ -106,7 +106,7 @@ def crawl_round(
     round_i: int,
     cfg: CrawlConfig,
     observations: dict[str, Observation] | None = None,
-    bloom_shards: dict | None = None,
+    bloom_shards: DataFrame | None = None,
 ) -> RoundPlan:
     """One BFS round as a pure function of snapshot state. All lazy.
 
@@ -211,15 +211,16 @@ def crawl_round(
     seen_keys = batch_seen.select("url_hash", "url")
     if seen is not None:
         seen_keys = seen.select("url_hash", "url").unionByName(seen_keys)
-    if bloom_shards:
+    if bloom_shards is not None:
         # Advisory pre-prune: candidates the filter says are definitely-new
         # skip the exact anti-join; "maybe seen" rows still go through it, so
         # correctness never depends on the false-positive rate. The filter
         # covers rounds < round_i; this round's batch is always probed exactly.
+        # bloom_shards is the blob DATAFRAME — probed via cogroup on shard,
+        # never collected or broadcast through the driver.
         from ..operators.bloom import bloom_prefilter
 
-        spark = frontier.sparkSession
-        flags = bloom_prefilter(spark, raw_candidates, bloom_shards, cfg.n_shards)
+        flags = bloom_prefilter(raw_candidates, bloom_shards, cfg.n_shards)
         flagged = raw_candidates.join(flags, on=["url_hash", "url"], how="inner")
         definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe_seen = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
@@ -288,13 +289,21 @@ def run_crawl(
         seen = None
         start_round = 0
 
-    bloom_shards: dict | None = None
+    # Bloom state is a blob DataFrame persisted per round next to the
+    # snapshot — on resume it reloads from the last round's parquet; on a
+    # cold resume without one it rebuilds from the seen union. Never
+    # collected to the driver.
+    bloom_shards: DataFrame | None = None
     if cfg.use_bloom and seen is not None:
         from ..operators.bloom import build_bloom_shards
 
-        bloom_shards = build_bloom_shards(
-            seen, cfg.n_shards, cfg.bloom_expected_per_shard
-        )
+        bloom_path = f"{store._round_dir(latest)}/bloom"
+        try:
+            bloom_shards = spark.read.parquet(bloom_path)
+        except Exception:
+            bloom_shards = build_bloom_shards(
+                seen, cfg.n_shards, cfg.bloom_expected_per_shard
+            )
 
     rounds_run = 0
     total_fetched = 0
@@ -446,7 +455,13 @@ def run_crawl(
                 cfg.n_shards,
                 cfg.bloom_expected_per_shard,
             )
-            bloom_shards = merge_bloom_shards(bloom_shards, delta_blobs)
+            merged = merge_bloom_shards(bloom_shards, delta_blobs)
+            # materialize the merged blobs next to the snapshot: truncates
+            # the OR-chain lineage across rounds and gives resume a filter
+            # to reload instead of rebuilding from the whole seen-set
+            bloom_path = f"{store._round_dir(round_i)}/bloom"
+            merged.write.mode("overwrite").parquet(bloom_path)
+            bloom_shards = spark.read.parquet(bloom_path)
         urls_in = n_frontier_next
         rounds_run += 1
         total_fetched += urls_fetched

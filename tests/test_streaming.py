@@ -29,3 +29,21 @@ def test_stream_dedup_ingest(spark, sf_dir, tmp_path):
     ingested = spark.read.parquet(f"{out}/pages")
     assert ingested.count() == 60  # overlap deduplicated
     assert ingested.select("url").distinct().count() == 60
+
+    # bounded-dedup state: compact shard-partitioned seen INDEX (2 columns,
+    # never the page payloads) + the bloom blob table — per-batch dedup reads
+    # these, not the whole output table
+    import glob
+
+    seen_idx = spark.read.parquet(f"{out}/seen")
+    assert seen_idx.count() == 60
+    assert set(seen_idx.columns) == {"url_hash", "url", "shard"}
+    assert glob.glob(f"{out}/seen/shard=*")  # partition-pruned layout
+    blobs = spark.read.parquet(f"{out}/bloom")
+    assert blobs.count() > 0
+    # every ingested url must probe maybe_seen (no false negatives) so a
+    # re-drop of the same files would dedup to zero
+    from fs_crawler_spark.operators.bloom import bloom_prefilter
+
+    flags = bloom_prefilter(seen_idx, blobs, n_shards=32)
+    assert flags.filter(~F.col("maybe_seen")).count() == 0
