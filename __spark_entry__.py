@@ -63,11 +63,13 @@ from fs_crawler_spark.operators.multimodal import (
 )
 from fs_crawler_spark.operators.politeness import select_batch
 from fs_crawler_spark.operators.similarity import (
+    _centroids,
     _hyperplanes,
     ann_lsh_topk,
     brute_force_topk,
     cosine,
     embedding_near_dup_pairs,
+    ivf_topk,
 )
 from fs_crawler_spark.plans.crawl import CrawlConfig, read_output, run_crawl
 from fs_crawler_spark.plans.resolve import apply_fact_resolution, apply_resolution
@@ -791,6 +793,19 @@ def q_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.withColumn("rank", F.col("rank").cast("long"))
 
 
+def q_ann_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-style ANN (second scale path beside hyperplane LSH): corpus
+    inverted-listed under deterministic unit centroids, queries probe their
+    2 nearest lists, exact cosine re-rank. Exactly oracled — the centroids
+    inline as SQL literals."""
+    emb = _emb(spark, sf_dir)
+    queries = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), "embedding"
+    )
+    out = ivf_topk(emb, queries, k=10, n_centroids=8, n_probe=2)
+    return out.withColumn("rank", F.col("rank").cast("long"))
+
+
 # ---------------------------------------------------------------------------
 # Multimodal family
 # ---------------------------------------------------------------------------
@@ -864,6 +879,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "emb_near_dup": q_emb_near_dup,
         "emb_near_dup_lsh": q_emb_near_dup_lsh,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "frame_sample": q_frame_sample,
         "media_features": q_media_features,
     }
@@ -932,6 +948,51 @@ scored AS (
            round(list_dot_product(c.v, q.qv) /
                  (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
     FROM b c JOIN q ON c.bucket = q.bucket
+    WHERE c.vec_id != q.query_id
+)
+SELECT query_id, vec_id, cos,
+       row_number() OVER (PARTITION BY query_id ORDER BY cos DESC, vec_id ASC) AS rank
+FROM scored
+QUALIFY rank <= {k}
+"""
+
+
+def _ann_ivf_sql(
+    k: int = 10,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+    seed: int = 7,
+) -> str:
+    """Exact IVF oracle: deterministic unit centroids inlined as literals;
+    corpus assignment = first-max list_indexof (same tie rule as Spark's
+    array_position), query probes = top-n_probe lists by score."""
+    cents = _centroids(dim, n_centroids, seed)
+    score_terms = ", ".join(
+        f"list_dot_product(v, [{', '.join(repr(x) for x in c)}])" for c in cents
+    )
+    return f"""
+WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+sc AS (SELECT vec_id, v, [{score_terms}] AS s FROM e),
+corpus AS (
+    SELECT vec_id, v, (list_indexof(s, list_aggregate(s, 'max')) - 1)::INT AS list
+    FROM sc
+),
+qprobe AS (
+    SELECT vec_id AS query_id, v AS qv, b.range::INT AS list, s[b.range::INT + 1] AS score
+    FROM sc, range({n_centroids}) b WHERE vec_id < 5
+),
+qp AS (
+    SELECT query_id, qv, list FROM (
+        SELECT *, row_number() OVER (PARTITION BY query_id ORDER BY score DESC, list ASC) AS pr
+        FROM qprobe
+    ) WHERE pr <= {n_probe}
+),
+scored AS (
+    SELECT q.query_id, c.vec_id,
+           round(list_dot_product(c.v, q.qv) /
+                 (sqrt(list_dot_product(c.v, c.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+    FROM corpus c JOIN qp q ON c.list = q.list
     WHERE c.vec_id != q.query_id
 )
 SELECT query_id, vec_id, cos,
@@ -1627,6 +1688,7 @@ FROM documents
         "emb_near_dup_lsh": _emb_lsh_near_dup_sql(
             threshold=0.2, n_planes=4, dim=64, seed=42
         ),
+        "ann_ivf": _ann_ivf_sql(k=10, n_centroids=8, n_probe=2, dim=64, seed=7),
         # payload = utf-8 of ASCII corpus text, feature = floor-micro-unit
         # byte%8 histogram (multimodal._fake_feature) — exact in integer SQL.
         "media_features": """

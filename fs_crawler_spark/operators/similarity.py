@@ -132,6 +132,94 @@ def ann_lsh_topk(
     )
 
 
+def _centroids(dim: int, n_centroids: int, seed: int = 7) -> list[list[float]]:
+    """Deterministic pseudo-random unit centroids (md5-seeded, same scheme as
+    :func:`_hyperplanes` with a distinct tag so the sets differ)."""
+    cents = []
+    for c in range(n_centroids):
+        vec = []
+        for i in range(dim):
+            h = hashlib.md5(f"ivf:{seed}:{c}:{i}".encode()).hexdigest()
+            vec.append((int(h[:8], 16) / 2**31) - 1.0)
+        n = math.sqrt(sum(v * v for v in vec)) or 1.0
+        cents.append([v / n for v in vec])
+    return cents
+
+
+def _centroid_scores(vec_col, centroids: list[list[float]]):
+    """Array of dot products against each (unit) centroid — since centroids
+    are unit vectors, argmax(dot) == argmax(cosine) per row."""
+    return F.array(
+        *[
+            _dot(F.col(vec_col).cast("array<double>"), F.array(*[F.lit(x) for x in c]))
+            for c in centroids
+        ]
+    )
+
+
+def ivf_topk(
+    embeddings: DataFrame,
+    queries: DataFrame,
+    k: int,
+    n_centroids: int = 8,
+    n_probe: int = 2,
+    dim: int = 64,
+    seed: int = 7,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    query_id_col: str = "query_id",
+) -> DataFrame:
+    """IVF-style ANN: corpus vectors are inverted-listed under their nearest
+    centroid (one pass, JVM-side argmax over deterministic centroid
+    literals); each query probes its ``n_probe`` nearest lists and re-ranks
+    the candidates by exact cosine.
+
+    The scale shape: the ONLY shuffle is the (centroid-id) candidate join,
+    list sizes are ~|corpus|/n_centroids, and recall/cost tunes with
+    (n_centroids, n_probe) exactly as in a real IVF index. Deterministic
+    centroids (no trained k-means here) keep it cross-engine reproducible —
+    an exact SQL oracle replays the same arithmetic.
+    Returns (query_id, vec_id, cos, rank).
+    """
+    cents = _centroids(dim, n_centroids, seed)
+    c_scores = _centroid_scores(vec_col, cents)
+    corpus = embeddings.select(
+        F.col(id_col).alias("vec_id"),
+        F.col(vec_col).cast("array<double>").alias("_cvec"),
+        # first-max wins on exact ties — same rule as the oracle's list_indexof
+        (F.array_position(c_scores, F.array_max(c_scores)) - 1).alias("_list"),
+    )
+    q_scores = _centroid_scores(vec_col, cents)
+    w_probe = Window.partitionBy("query_id").orderBy(
+        F.col("_score").desc(), F.col("_list").asc()
+    )
+    q = (
+        queries.select(
+            F.col(query_id_col).alias("query_id"),
+            F.col(vec_col).cast("array<double>").alias("_qvec"),
+            F.posexplode(q_scores).alias("_list", "_score"),
+        )
+        .withColumn("_pr", F.row_number().over(w_probe))
+        .filter(F.col("_pr") <= n_probe)
+        .select("query_id", "_qvec", "_list")
+    )
+    scored = (
+        corpus.join(F.broadcast(q), on="_list")
+        .filter(F.col("query_id") != F.col("vec_id"))
+        .select(
+            "query_id",
+            "vec_id",
+            F.round(cosine(F.col("_cvec"), F.col("_qvec")), 6).alias("cos"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id").asc())
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "vec_id", "cos", "rank")
+    )
+
+
 def embedding_near_dup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.95,
