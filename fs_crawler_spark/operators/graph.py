@@ -124,16 +124,10 @@ def birth_year(lifespan) -> F.Column:
     pos = F.locate("-1", lifespan)
     return (
         F.when(pos > 1, F.substring(lifespan, F.lit(1), pos - 1).cast("int"))
-        .when(pos == 1, F.expr(f"CAST(substring({_sql(lifespan)}, 2) AS INT)"))
+        .when(pos == 1, F.substring(lifespan, F.lit(2), F.lit(2147483647)).cast("int"))
         .when(lifespan == "Living", F.lit(3000))
         .otherwise(F.lit(0))
     )
-
-
-def _sql(col) -> str:
-    from pyspark.sql import Column
-
-    return col._jc.toString() if isinstance(col, Column) else str(col)  # noqa: SLF001
 
 
 # ---------------------------------------------------------------------------
