@@ -308,6 +308,10 @@ def run_crawl(
     rounds_run = 0
     total_fetched = 0
     urls_in: int | None = None  # carried from the previous round's observation
+    # Round-total log rows need observation values the commit itself
+    # produces, so round r's totals PIGGYBACK on round r+1's crawl_log write
+    # (zero extra jobs); the final round's totals flush once after the loop.
+    pending_totals: list[tuple] = []
     for round_i in range(start_round, cfg.max_rounds):
         t0 = time.monotonic()
         if urls_in is None:
@@ -354,6 +358,11 @@ def run_crawl(
                 F.lit(snapshot_id).cast("long").alias("snapshot_id"),
             )
         )
+        if pending_totals:
+            log_parts = log_parts.unionByName(
+                spark.createDataFrame(pending_totals, CRAWL_LOG)
+            )
+            pending_totals = []
 
         # Periodic seen compaction: write the FULL seen-set this round and
         # flag it in the manifest, so subsequent read_unions start here.
@@ -416,28 +425,19 @@ def run_crawl(
         urls_deduped = max(0, n_raw_candidates - n_candidates)
         duration = time.monotonic() - t0
 
-        # Round-total row appended post-publish (it needs the observation
-        # values the commit itself produced). Single tiny task; resume never
-        # reads crawl_log, so late totals don't affect snapshot atomicity.
-        totals = spark.createDataFrame(
-            [
-                (
-                    round_i,
-                    -1,
-                    float(duration),
-                    int(urls_fetched),
-                    int(n_frontier_next),
-                    int(n_edges),
-                    int(batch_n),
-                    int(urls_fetched),
-                    int(urls_deduped),
-                    snapshot_id,
-                )
-            ],
-            CRAWL_LOG,
-        )
-        totals.coalesce(1).write.mode("append").parquet(
-            f"{store._round_dir(round_i)}/crawl_log"
+        pending_totals.append(
+            (
+                round_i,
+                -1,
+                float(duration),
+                int(urls_fetched),
+                int(n_frontier_next),
+                int(n_edges),
+                int(batch_n),
+                int(urls_fetched),
+                int(urls_deduped),
+                snapshot_id,
+            )
         )
 
         parsed.unpersist()
@@ -465,6 +465,14 @@ def run_crawl(
         urls_in = n_frontier_next
         rounds_run += 1
         total_fetched += urls_fetched
+
+    if pending_totals:
+        # flush the final round's totals (one append for the whole run;
+        # NOTE: no coalesce(1) — coalescing a 1-row local relation costs
+        # ~6 s of fixed overhead per write on this Spark build)
+        spark.createDataFrame(pending_totals, CRAWL_LOG).write.mode(
+            "append"
+        ).parquet(f"{store._round_dir(start_round + rounds_run - 1)}/crawl_log")
 
     return {
         "rounds": rounds_run,
