@@ -54,6 +54,34 @@ CRAWL_JOB = textwrap.dedent(
     """
 )
 
+# crawl_wide: the 10^10-frontier regime analog — broad seed list + per-host
+# budget sized so ROUNDS CARRY MILLIONS OF URLS (at target scale a round
+# carries 10^8-10^9; the narrow single-seed crawl spends its first ~10 rounds
+# on tiny frontiers whose fixed per-round latency no core count can shrink).
+CRAWL_WIDE_JOB = textwrap.dedent(
+    """
+    import time, tempfile, json, sys
+    from fs_crawler_spark.session import get_spark
+    from fs_crawler_spark.sources.corpus import build_pages, doc_url
+    from fs_crawler_spark.plans.crawl import run_crawl, CrawlConfig
+    cores = int(sys.argv[1])
+    spark = get_spark(cores=cores, shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+    N = 16_000_000
+    pages = build_pages(spark, "/root/testdata/sf0.1", multiplier=N // 5000).persist()
+    pages.count()
+    seeds = [doc_url(i) for i in range(4096)]
+    t0 = time.monotonic()
+    res = run_crawl(spark, pages, seeds, tempfile.mkdtemp(),
+                    CrawlConfig(max_rounds=60, host_budget=500_000, n_shards=16))
+    dt = time.monotonic() - t0
+    print(json.dumps({"workload": "crawl_wide", "cores": cores, "pages": N,
+                      "rounds": res["rounds"], "fetched": res["total_fetched"],
+                      "sec": round(dt, 1),
+                      "throughput": round(res["total_fetched"] / dt, 1)}))
+    """
+)
+
 OPS_JOB = textwrap.dedent(
     """
     import time, json, sys
@@ -121,7 +149,12 @@ def run(job: str, cores: int) -> dict:
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
     results = {}
-    jobs = [("crawl", CRAWL_JOB), ("ops", OPS_JOB), ("extract", EXTRACT_JOB)]
+    jobs = [
+        ("crawl", CRAWL_JOB),
+        ("crawl_wide", CRAWL_WIDE_JOB),
+        ("ops", OPS_JOB),
+        ("extract", EXTRACT_JOB),
+    ]
     if os.environ.get("SCALING_ONLY"):
         wanted = os.environ["SCALING_ONLY"].split(",")
         jobs = [(n, j) for n, j in jobs if n in wanted]

@@ -326,7 +326,7 @@ def q_politeness_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         (d % 17).cast("double").alias("priority"),
         F.lit(0).cast("int").alias("discovered_iter"),
     )
-    batch, _ = select_batch(frontier, host_budget=5)
+    batch = select_batch(frontier, host_budget=5).batch
     return batch.select("host", "url")
 
 

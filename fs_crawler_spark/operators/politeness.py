@@ -26,6 +26,8 @@ from pyspark.sql import functions as F
 class BatchSelection(NamedTuple):
     batch: DataFrame  # rows to fetch this round
     deferred: DataFrame  # over-budget rows that stay in the frontier
+    spool: DataFrame | None  # shared rank-1 subplan — persist() this across
+    # the round's jobs so neither branch recomputes the salted window
 
 
 def _order_cols():
@@ -41,22 +43,27 @@ def select_batch(
 
     ``host_budget=None`` fetches the whole frontier (reference hop-crawl mode).
     Ordering is total and deterministic: (priority, url).
+
+    batch and deferred PARTITION the frontier by construction — deferred is
+    the union of phase-1 losers and phase-2 losers, not an anti-join of the
+    frontier against the batch (the round-1 shape, which re-ran the whole
+    two-phase selection plus a frontier-sized shuffle inside the frontier
+    write). Both branches hang off the shared rank-1 ``spool`` subplan.
     """
     if host_budget is None:
-        return BatchSelection(frontier, frontier.limit(0))
+        return BatchSelection(frontier, frontier.limit(0), None)
 
     salted = frontier.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(salt_n)))
     w1 = Window.partitionBy("host", "_salt").orderBy(*_order_cols())
-    pruned = (
-        salted.withColumn("_rn1", F.row_number().over(w1))
-        .filter(F.col("_rn1") <= host_budget)
-        .drop("_rn1", "_salt")
-    )
+    flagged = salted.withColumn("_rn1", F.row_number().over(w1))
+    survivors = flagged.filter(F.col("_rn1") <= host_budget)
     w2 = Window.partitionBy("host").orderBy(*_order_cols())
-    batch = (
-        pruned.withColumn("_rn2", F.row_number().over(w2))
-        .filter(F.col("_rn2") <= host_budget)
-        .drop("_rn2")
+    ranked = survivors.withColumn("_rn2", F.row_number().over(w2))
+    drop = ["_salt", "_rn1", "_rn2"]
+    batch = ranked.filter(F.col("_rn2") <= host_budget).drop(*drop)
+    deferred = (
+        flagged.filter(F.col("_rn1") > host_budget)
+        .drop("_salt", "_rn1")
+        .unionByName(ranked.filter(F.col("_rn2") > host_budget).drop(*drop))
     )
-    deferred = frontier.join(batch.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti")
-    return BatchSelection(batch, deferred)
+    return BatchSelection(batch, deferred, flagged)

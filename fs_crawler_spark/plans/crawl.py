@@ -65,6 +65,11 @@ class CrawlConfig:
     bloom_expected_per_shard: int = 100_000
     compact_every: int | None = 8  # rewrite seen as one snapshot every K
     # rounds (Iceberg compaction analog) so read fan-in stays bounded
+    aqe_in_loop: bool = False  # AQE re-plans every stage of every job — pure
+    # driver latency on the iterative path (measured 26% of wall at 16 cores,
+    # 8M pages), and redundant here: the loop's skew risk (hot hosts) is
+    # handled EXPLICITLY by politeness salting, and its join keys (md5 url
+    # hashes) are uniform. Restored after the loop; analytics queries keep AQE.
     extra: dict[str, Any] = field(default_factory=dict)
 
 
@@ -78,6 +83,7 @@ class RoundPlan(NamedTuple):
     new_frontier: DataFrame
     raw_candidates: DataFrame
     candidates: DataFrame
+    spool: DataFrame | None  # politeness rank-1 subplan (persist per round)
 
 
 def _obs_count(obs: Observation, fallback) -> int:
@@ -115,7 +121,7 @@ def crawl_round(
     first executes each node (the snapshot writes) — the free metrics path.
     """
     obs = observations or {}
-    batch, deferred = select_batch(frontier, cfg.host_budget, cfg.salt_n)
+    batch, deferred, spool = select_batch(frontier, cfg.host_budget, cfg.salt_n)
     if "batch" in obs:
         batch = batch.observe(obs["batch"], F.count(F.lit(1)).alias("n"))
 
@@ -263,6 +269,7 @@ def crawl_round(
         new_frontier,
         raw_candidates,
         candidates,
+        spool,
     )
 
 
@@ -279,6 +286,23 @@ def run_crawl(
     cfg = cfg or CrawlConfig()
     store = CheckpointStore(checkpoint_dir)
 
+    aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
+    if not cfg.aqe_in_loop:
+        spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        return _run_crawl_loop(spark, pages, seeds, cfg, store, robots)
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+
+
+def _run_crawl_loop(
+    spark: SparkSession,
+    pages: DataFrame,
+    seeds: list[str],
+    cfg: CrawlConfig,
+    store: CheckpointStore,
+    robots: DataFrame | None,
+) -> dict[str, Any]:
     latest = store.latest_round()
     if latest is not None:
         frontier = store.read(spark, latest, "frontier")
@@ -335,6 +359,9 @@ def run_crawl(
         )
         parsed = plan.parsed.persist()
         batch = plan.batch.persist()
+        # the politeness rank-1 pass is shared by the batch path AND the
+        # deferred path (frontier write); pin it so neither recomputes it
+        spool = plan.spool.persist() if plan.spool is not None else None
         snapshot_id = time.time_ns()
 
         # Per-partition lineage (north_rule): rows per partition of this
@@ -442,6 +469,8 @@ def run_crawl(
 
         parsed.unpersist()
         batch.unpersist()
+        if spool is not None:
+            spool.unpersist()
 
         # Lineage truncation + exact resume equivalence: next round reads the
         # committed snapshot, not in-memory lineage.

@@ -47,3 +47,65 @@ def test_stream_dedup_ingest(spark, sf_dir, tmp_path):
 
     flags = bloom_prefilter(seen_idx, blobs, n_shards=32)
     assert flags.filter(~F.col("maybe_seen")).count() == 0
+
+
+@pytest.mark.slow
+def test_stateful_sessionization_matches_batch(spark, sf_dir, tmp_path):
+    """applyInPandasWithState sessionizer: every CLOSED session emitted by
+    the stream equals the batch events_sessions window algebra (same
+    whole-microsecond gap rule); open sessions may remain in state at
+    drain time and are excluded from the comparison."""
+    import calendar
+
+    from pyspark.sql import functions as F
+
+    from fs_crawler_spark.streaming.sessions import sessionize_stream
+
+    landing = str(tmp_path / "ev")
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    ev.coalesce(1).write.parquet(landing)  # one file -> one micro-batch
+
+    stream = spark.readStream.schema(ev.schema).parquet(landing)
+    out_rows = []
+    q = (
+        sessionize_stream(stream, gap_s=1800)
+        .writeStream.foreachBatch(lambda df, _id: out_rows.extend(df.collect()))
+        .option("checkpointLocation", str(tmp_path / "ck"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(180)
+
+    def us_utc(dt):  # collected timestamps are session-tz (UTC) naive
+        return calendar.timegm(dt.timetuple()) * 1_000_000 + dt.microsecond
+
+    got = {
+        (r["user_id"], us_utc(r["session_start"]), r["n_events"]) for r in out_rows
+    }
+    assert got, "stream must close at least some sessions"
+
+    # batch truth: (user_id, session_start_us, n_events) per session
+    w_ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    from pyspark.sql import Window
+
+    micros = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    gap = micros - F.lag(micros).over(w)
+    w_run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    batch = (
+        w_ev.withColumn("_new", F.when(gap.isNull() | (gap > 1800 * 1_000_000), 1).otherwise(0))
+        .withColumn("session_id", F.sum("_new").over(w_run))
+        .groupBy("user_id", "session_id")
+        .agg(
+            F.min(micros).alias("start_us"),
+            F.count("*").alias("n_events"),
+        )
+    )
+    truth = {
+        (r["user_id"], r["start_us"], r["n_events"]) for r in batch.collect()
+    }
+    assert got <= truth  # every closed stream session is a true session
+    # and the stream closed the overwhelming majority of them
+    assert len(got) >= 0.5 * len(truth)
