@@ -86,17 +86,36 @@ class RoundPlan(NamedTuple):
     spool: DataFrame | None  # politeness rank-1 subplan (persist per round)
 
 
-def _obs_count(obs: Observation, fallback) -> int:
-    """Observation value, or a direct count if the JVM metrics row is broken
-    (CollectMetrics over an empty cached subplan can fail toPyRow).
-    ``fallback`` is a DataFrame or a zero-arg callable returning one —
-    callables let the cheap path (committed-parquet footer counts) be built
-    lazily, only when the observation actually failed."""
-    try:
-        return int(obs.get["n"])
-    except Exception:
-        df = fallback() if callable(fallback) else fallback
-        return df.count()
+def _committed_counts(spark: SparkSession, store, round_i: int) -> dict[str, int]:
+    """Exact per-round counts from the committed snapshot in ONE job: a
+    union of per-table count aggregates (parquet footer metadata — no data
+    pages are read). Authoritative where observations can race (see caller).
+    ``batch`` = sum of the committed per-partition lineage rows."""
+    import os
+
+    legs = []
+    for name in ("vertices", "edges", "frontier"):
+        legs.append(
+            store.read(spark, round_i, name)
+            .groupBy()
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit(name).alias("t"), F.col("n"))
+        )
+    log_path = os.path.join(store._round_dir(round_i), "crawl_log")
+    legs.append(
+        spark.read.parquet(log_path)
+        .filter(F.col("partition_id") >= 0)
+        .filter(F.col("iteration") == round_i)
+        .groupBy()
+        .agg(F.coalesce(F.sum("urls_in"), F.lit(0)).alias("n"))
+        .select(F.lit("batch").alias("t"), F.col("n"))
+    )
+    u = legs[0]
+    for df in legs[1:]:
+        u = u.unionByName(df)
+    return {r["t"]: int(r["n"]) for r in u.collect()}
+
+
 
 
 def seed_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
@@ -343,16 +362,11 @@ def _run_crawl_loop(
         if urls_in == 0:
             break
 
+        # only the cosmetic dedup metric rides on observations now; all
+        # load-bearing counts come from the committed snapshot (see below)
         obs = {
             name: Observation(f"{name}_{round_i}")
-            for name in (
-                "batch",
-                "fetched",
-                "edges",
-                "raw_candidates",
-                "candidates",
-                "frontier",
-            )
+            for name in ("raw_candidates", "candidates")
         }
         plan = crawl_round(
             pages, frontier, seen, robots, round_i, cfg, obs, bloom_shards
@@ -434,22 +448,27 @@ def _run_crawl_loop(
             partition_by={"seen": ["shard"]},
             snapshot_id=snapshot_id,
         )
-        # Metrics are observation reads — zero extra jobs when healthy. Each
-        # fallback (broken CollectMetrics row) counts the cheapest equivalent
-        # source: committed parquet (footer-only scans) or a cached DF.
-        batch_n = _obs_count(obs["batch"], batch)
-        urls_fetched = _obs_count(
-            obs["fetched"], lambda: store.read(spark, round_i, "vertices")
-        )
-        n_edges = _obs_count(
-            obs["edges"], lambda: store.read(spark, round_i, "edges")
-        )
-        n_frontier_next = _obs_count(
-            obs["frontier"], lambda: store.read(spark, round_i, "frontier")
-        )
-        n_raw_candidates = _obs_count(obs["raw_candidates"], plan.raw_candidates)
-        n_candidates = _obs_count(obs["candidates"], plan.candidates)
-        urls_deduped = max(0, n_raw_candidates - n_candidates)
+        # Loop-control and logged counts come from the COMMITTED parquet —
+        # one metadata-only job for all four (parquet count() reads footers).
+        # Observations are NOT authoritative here: with 5 concurrent commit
+        # jobs racing to populate the shared caches, the first-completing
+        # job's CollectMetrics row only covers the partitions ITS tasks
+        # computed (cache hits contribute nothing), so observed counts can
+        # undercount nondeterministically — seen in the wild as a run
+        # reporting 99,412 of 100,000 fetches and, worse, an early loop exit
+        # if the frontier count raced to 0.
+        stats = _committed_counts(spark, store, round_i)
+        batch_n = stats["batch"]
+        urls_fetched = stats["vertices"]
+        n_edges = stats["edges"]
+        n_frontier_next = stats["frontier"]
+        # deduped is cosmetic (log only): observation value, never recomputed
+        try:
+            n_raw_candidates = int(obs["raw_candidates"].get["n"])
+            n_candidates = int(obs["candidates"].get["n"])
+            urls_deduped = max(0, n_raw_candidates - n_candidates)
+        except Exception:
+            urls_deduped = 0
         duration = time.monotonic() - t0
 
         pending_totals.append(
