@@ -75,9 +75,16 @@ def main() -> None:
         "token_jaccard",
         "minhash_lsh",
         "simhash",
+        "simhash_near_dup",
         "ann_topk",
+        "ann_lsh",
+        "ann_ivf",
         "emb_near_dup",
+        "emb_near_dup_lsh",
+        "media_features",
         "events_last_per_user",
+        "events_sessions",
+        "validator_stats",
     ):
         t0 = time.monotonic()
         n = qs[name](spark, sf_dir).count()

@@ -162,3 +162,21 @@ def test_simhash_blocking_candidates_bounded(spark, docs):
     assert n_out > 0  # planted dups guarantee non-trivial output
     assert n_cand < 0.35 * all_pairs  # not all-pairs
     assert n_cand < 8 * n_out  # candidates within a small factor of output
+
+
+def test_simhash_kernel_matches_expression(spark, docs):
+    """The Arrow simhash kernel must produce bit-identical block values to
+    the Column-expression path (same md5 digests, same majority rule)."""
+    from fs_crawler_spark.operators.dedup import simhash_blocks, simhash_blocks_kernel
+
+    expr = {
+        r["id"]: list(r["shb"])
+        for r in docs.select(
+            F.col("doc_id").alias("id"), simhash_blocks("text", 64, 4).alias("shb")
+        ).collect()
+    }
+    kern = {
+        r["id"]: list(r["shb"])
+        for r in simhash_blocks_kernel(docs, "doc_id", "text", 64, 4).collect()
+    }
+    assert expr == kern
