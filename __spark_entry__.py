@@ -1177,6 +1177,14 @@ SELECT * FROM (
 
 
 def oracle_sql() -> dict[str, str]:
+    # Oracle-hygiene rule (round-3 sweep): every integer aggregate that appears
+    # in a FINAL SELECT must be explicitly CAST to BIGINT.  DuckDB's sum()
+    # (plain or windowed) over integers returns HUGEINT (int128), which a
+    # pandas fetch renders as float64 ("11.0" vs Spark's bigint "11"), breaking
+    # the driver's canonical value-hash even when values are identical.
+    # count(*) is BIGINT natively and needs no cast.  Likewise avoid round()
+    # on exact .5 boundaries (DuckDB half-even vs Spark half-up): money sums
+    # use floor(x*10^k) micro-units instead (see _micro / sum_*_u columns).
     lang_hits = {
         "en": f"len(list_filter(tk, t -> list_contains({_EN_STOP}, t)))",
         "de": f"len(list_filter(tk, t -> list_contains({_DE_STOP}, t)))",
@@ -1652,7 +1660,7 @@ s AS (
                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
     FROM g
 )
-SELECT user_id, session_id, count(*) AS n_events
+SELECT user_id, session_id::BIGINT AS session_id, count(*) AS n_events
 FROM s GROUP BY 1, 2
 """,
         "ann_topk": """
