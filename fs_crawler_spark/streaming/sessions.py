@@ -55,14 +55,25 @@ def _us(ts: pd.Timestamp) -> int:
     return int(ts.value // 1000)
 
 
-def sessionize_stream(events, gap_s: int = 1800):
+def sessionize_stream(events, gap_s: int = 1800, watermark_delay_s: int | None = None):
     """events (user_id, ts, ...) stream -> closed-session rows.
 
     ``withWatermark`` bounds state: an open session whose timeout expires
     (no event within the gap, watermark advanced past it) closes and emits.
     Gap arithmetic is whole microseconds — identical to the batch oracle.
+
+    ``watermark_delay_s`` decouples allowed lateness from the session gap
+    (default: equal to the gap). Late-but-within-watermark events arriving in
+    a LATER micro-batch merge correctly into the open session (the session
+    start moves back to min) or split into their own earlier session when
+    they are more than a gap before the open session's start — the same
+    result as the batch window algebra over the union of all batches. A late
+    event that lands in a gap already proven closed by an earlier emission
+    cannot retract it (append mode); size the watermark delay to the lateness
+    you must absorb.
     """
     gap_us = gap_s * 1_000_000
+    delay_s = gap_s if watermark_delay_s is None else watermark_delay_s
 
     def fn(
         key: Any, pdfs: Iterator[pd.DataFrame], state: GroupState
@@ -83,23 +94,28 @@ def sessionize_stream(events, gap_s: int = 1800):
         ts_list: list[int] = []
         for pdf in pdfs:
             ts_list.extend(_us(t) for t in pdf["ts"])
-        ts_list.sort()
         if not ts_list:
             return
+        # Atom merge: each new event is an interval atom (t, t, 1); the open
+        # session (if any) is an atom (start, end, n) whose internal
+        # consecutive gaps are all <= gap by construction. Sorting atoms by
+        # start and merging adjacent ones whose boundary gap <= gap_us
+        # reproduces the batch window algebra over the union — including
+        # out-of-order events that move the open session's start BACKWARD
+        # (min) or split into their own earlier session (start - t > gap).
+        atoms = [(t, t, 1) for t in ts_list]
         if state.exists:
-            start_us, end_us, n = state.get
-        else:
-            start_us = end_us = 0
-            n = 0
+            atoms.append(tuple(state.get))
+        atoms.sort()
         closed = []
-        for t in ts_list:
-            if n == 0 or t - end_us > gap_us:
-                if n > 0:
-                    closed.append((start_us, end_us, n))
-                start_us, end_us, n = t, t, 1
+        start_us, end_us, n = atoms[0]
+        for s, e, c in atoms[1:]:
+            if s - end_us <= gap_us:
+                end_us = max(end_us, e)
+                n += c
             else:
-                end_us = max(end_us, t)
-                n += 1
+                closed.append((start_us, end_us, n))
+                start_us, end_us, n = s, e, c
         state.update((start_us, end_us, n))
         # timeout when the watermark passes end + gap: the session can no
         # longer be extended by any non-late event (clamped above the
@@ -117,7 +133,7 @@ def sessionize_stream(events, gap_s: int = 1800):
             )
 
     return (
-        events.withWatermark("ts", f"{gap_s} seconds")
+        events.withWatermark("ts", f"{delay_s} seconds")
         .groupBy("user_id")
         .applyInPandasWithState(
             fn,
