@@ -335,15 +335,26 @@ def _run_crawl_loop(
     # Bloom state is a blob DataFrame persisted per round next to the
     # snapshot — on resume it reloads from the last round's parquet; on a
     # cold resume without one it rebuilds from the seen union. Never
-    # collected to the driver.
+    # collected to the driver. Reload VALIDATES the persisted parameters
+    # (n_shards from the manifest settings, m/k from the blob rows) against
+    # cfg: a mismatch — e.g. a resume with a different n_shards would hash
+    # seen urls into shards with no blob row, flag them definitely-new, and
+    # silently re-fetch — falls back to rebuilding from the seen union.
     bloom_shards: DataFrame | None = None
     if cfg.use_bloom and seen is not None:
-        from ..operators.bloom import build_bloom_shards
+        from ..operators.bloom import _params, build_bloom_shards
 
-        bloom_path = f"{store._round_dir(latest)}/bloom"
         try:
-            bloom_shards = spark.read.parquet(bloom_path)
+            prev = store.manifest(latest).get("meta", {}).get("settings", {})
+            if prev.get("n_shards") == cfg.n_shards:
+                cand = spark.read.parquet(f"{store._round_dir(latest)}/bloom")
+                head = cand.select("m", "k").limit(1).collect()
+                m_exp, k_exp = _params(cfg.bloom_expected_per_shard, 0.01)
+                if head and head[0]["m"] == m_exp and head[0]["k"] == k_exp:
+                    bloom_shards = cand
         except Exception:
+            bloom_shards = None
+        if bloom_shards is None:
             bloom_shards = build_bloom_shards(
                 seen, cfg.n_shards, cfg.bloom_expected_per_shard
             )
@@ -355,6 +366,39 @@ def _run_crawl_loop(
     # produces, so round r's totals PIGGYBACK on round r+1's crawl_log write
     # (zero extra jobs); the final round's totals flush once after the loop.
     pending_totals: list[tuple] = []
+    if latest is not None:
+        # A crash between round `latest`'s commit and the next one loses
+        # exactly that round's totals row (it would have piggybacked on the
+        # next commit). Re-derive it from the committed counts so the log
+        # export never silently skews cumulative counts. Duration and the
+        # dedup metric are unrecoverable -> 0.
+        import os
+
+        log_path = os.path.join(store._round_dir(latest), "crawl_log")
+        has_totals = (
+            os.path.exists(log_path)
+            and spark.read.parquet(log_path)
+            .filter((F.col("partition_id") == -1) & (F.col("iteration") == latest))
+            .limit(1)
+            .count()
+            > 0
+        )
+        if not has_totals:
+            stats = _committed_counts(spark, store, latest)
+            pending_totals.append(
+                (
+                    latest,
+                    -1,
+                    0.0,
+                    int(stats["vertices"]),
+                    int(stats["frontier"]),
+                    int(stats["edges"]),
+                    int(stats["batch"]),
+                    int(stats["vertices"]),
+                    0,
+                    int(store.manifest(latest).get("snapshot_id", 0)),
+                )
+            )
     for round_i in range(start_round, cfg.max_rounds):
         t0 = time.monotonic()
         if urls_in is None:
@@ -442,6 +486,7 @@ def _run_crawl_loop(
                     "n_shards": cfg.n_shards,
                     "mode": cfg.mode,
                     "use_bloom": cfg.use_bloom,
+                    "bloom_expected_per_shard": cfg.bloom_expected_per_shard,
                     "seeds": seeds,
                 },
             },

@@ -177,6 +177,14 @@ def crawl_log_csv_form(
     table — no per-round rescans of the full graph.
     """
     vit = vertices.select("id", "iteration")
+    # Edges whose source was never fetched (possible only for graphs round-
+    # tripped through CSV resume — engine-native crawls emit edges from
+    # fetched pages) are 'frontier' class in every historical state from
+    # load on; they ride as a constant on every cumulative row instead of
+    # the hardcoded 0 that disagreed with the sibling frontier.edges.csv.
+    frontier_cnt = edges.join(
+        vit.select(F.col("id").alias("source")), on="source", how="left_anti"
+    ).agg(F.count("*").cast("long").alias("_fe"))
     e = (
         edges.join(
             vit.select(F.col("id").alias("source"), F.col("iteration").alias("_si")),
@@ -206,9 +214,18 @@ def crawl_log_csv_form(
         F.col("_wi").alias("iteration")
     ).agg(F.count("*").alias("_within"))
     v_h = vertices.groupBy("iteration").agg(F.count("*").alias("_v"))
-    totals = crawl_log.filter(F.col("partition_id") == -1).select(
-        "iteration", "duration", F.col("frontier").alias("_f")
-    )
+    # Resilient to a missing totals row (crash before the piggybacked write,
+    # see plans/crawl.py): iterations come from ALL log rows (the per-
+    # partition lineage rows always commit with the round), totals left-join
+    # in; unrecoverable duration -> 0, frontier -> null (empty CSV field).
+    iters = crawl_log.select("iteration").distinct()
+    totals = iters.join(
+        crawl_log.filter(F.col("partition_id") == -1).select(
+            "iteration", "duration", F.col("frontier").alias("_f")
+        ),
+        on="iteration",
+        how="left",
+    ).select("iteration", F.coalesce("duration", F.lit(0.0)).alias("duration"), "_f")
     w = Window.orderBy("iteration").rowsBetween(Window.unboundedPreceding, 0)
     out = (
         totals.join(v_h, on="iteration", how="left")
@@ -222,6 +239,7 @@ def crawl_log_csv_form(
             F.sum(F.coalesce("_known", F.lit(0))).over(w).alias("_ck"),
             F.sum(F.coalesce("_within", F.lit(0))).over(w).alias("_cw"),
         )
+        .crossJoin(F.broadcast(frontier_cnt))
         .select(
             F.col("iteration").alias("#iteration"),
             "duration",
@@ -229,7 +247,7 @@ def crawl_log_csv_form(
             F.col("_f").alias("frontier"),
             F.col("_cw").alias("edges"),
             (F.col("_ck") - F.col("_cw")).alias("spanning_edges"),
-            F.lit(0).cast("long").alias("frontier_edges"),
+            F.col("_fe").alias("frontier_edges"),
         )
     )
     return out

@@ -129,3 +129,60 @@ def test_crawl_log_lineage(spark, pages120, tmp_path):
     vertices = read_output(spark, str(tmp_path / "c"), "vertices")
     fetched_total = totals.agg(F.sum("urls_fetched")).collect()[0][0]
     assert fetched_total == vertices.count()
+
+
+def test_resume_rederives_lost_totals(spark, pages120, tmp_path):
+    """Round r's totals row piggybacks on round r+1's commit; a crash before
+    that commit loses it. Resume must re-derive it from committed counts so
+    the log export never silently skews cumulative counts."""
+    import os
+    import shutil
+
+    d = str(tmp_path / "c")
+    run_crawl(spark, pages120, [doc_url(0)], d, CrawlConfig(max_rounds=2))
+
+    # simulate the crash: strip round 1's own totals row (the clean-stop
+    # flush wrote it into round 1's dir; a killed run never would have)
+    p = os.path.join(d, "snapshots", "round=1", "crawl_log")
+    kept = (
+        spark.read.parquet(p)
+        .filter(~((F.col("partition_id") == -1) & (F.col("iteration") == 1)))
+        .collect()
+    )
+    schema = spark.read.parquet(p).schema
+    shutil.rmtree(p)
+    spark.createDataFrame(kept, schema).write.parquet(p)
+
+    run_crawl(spark, pages120, [doc_url(0)], d, CrawlConfig(max_rounds=4))
+    log = read_output(spark, d, "crawl_log")
+    totals = {r["iteration"]: r for r in log.filter(F.col("partition_id") == -1).collect()}
+    assert sorted(totals) == [0, 1, 2, 3]
+    # re-derived from committed counts: fetched == round-1 vertex delta
+    v1 = spark.read.parquet(os.path.join(d, "snapshots", "round=1", "vertices"))
+    assert totals[1]["urls_fetched"] == v1.count()
+    assert totals[1]["duration"] == 0.0  # unrecoverable, zeroed
+
+
+def test_bloom_resume_param_mismatch_rebuilds(spark, pages120, tmp_path):
+    """Resuming with a different n_shards must NOT silently re-fetch seen
+    urls (blobs keyed by old shards would flag everything definitely-new):
+    the reload validates params against the manifest and rebuilds."""
+    plain = str(tmp_path / "plain")
+    run_crawl(spark, pages120, [doc_url(0)], plain, CrawlConfig(max_rounds=4))
+
+    d = str(tmp_path / "b")
+    run_crawl(
+        spark, pages120, [doc_url(0)], d,
+        CrawlConfig(max_rounds=2, use_bloom=True, n_shards=8),
+    )
+    run_crawl(
+        spark, pages120, [doc_url(0)], d,
+        CrawlConfig(max_rounds=4, use_bloom=True, n_shards=4),
+    )
+    for table in ("vertices", "edges"):
+        a = sorted(map(tuple, read_output(spark, plain, table).collect()))
+        b = sorted(map(tuple, read_output(spark, d, table).collect()))
+        assert a == b, table
+    # fetch-exactly-once invariant: no url appears twice
+    v = read_output(spark, d, "vertices")
+    assert v.count() == v.select("id").distinct().count()

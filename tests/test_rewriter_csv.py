@@ -83,6 +83,8 @@ def test_full_csv_family(spark, tmp_path):
             ("A", "C", "UntypedParent", "R2"),   # within from iter 1
             ("B", "D", "UntypedParent", "R3"),   # within from iter 2
             ("B", "X", "UntypedParent", "R4"),   # spanning forever (X unfetched)
+            ("Z", "W", "UntypedParent", "R5"),   # frontier (neither fetched —
+            # only possible for CSV-roundtripped graphs)
         ],
         "source string, destination string, type string, id string",
     )
@@ -98,11 +100,11 @@ def test_full_csv_family(spark, tmp_path):
     paths = write_crawl_csv(vertices, edges, frontier, crawl_log, out, basename="g")
     assert len(paths) == 6 and all(glob.glob(f"{p}/part-*.csv") for p in paths.values())
 
-    # class routing: 3 within, 1 spanning, 0 frontier
+    # class routing: 3 within, 1 spanning, 1 frontier
     n_within = spark.read.option("header", True).csv(paths["edges"]).count()
     n_span = spark.read.option("header", True).csv(paths["spanning_edges"]).count()
     n_front = spark.read.option("header", True).csv(paths["frontier_edges"]).count()
-    assert (n_within, n_span, n_front) == (3, 1, 0)
+    assert (n_within, n_span, n_front) == (3, 1, 1)
 
     fv = read_frontier_vertices_csv(spark, paths["frontier_vertices"])
     assert sorted(r["id"] for r in fv.collect()) == ["X", "Y"]
@@ -118,6 +120,9 @@ def test_full_csv_family(spark, tmp_path):
     assert [int(rows[k]["spanning_edges"]) for k in (0, 1, 2)] == [2, 2, 1]
     # frontier column passes through from the engine log
     assert [int(rows[k]["frontier"]) for k in (0, 1, 2)] == [3, 2, 2]
+    # frontier-class edges agree with the sibling frontier.edges.csv file
+    # (previously a hardcoded 0)
+    assert [int(rows[k]["frontier_edges"]) for k in (0, 1, 2)] == [1, 1, 1]
 
     vpaths = write_validated_csv(vertices, edges, out, basename="g")
     vv = spark.read.option("header", True).csv(vpaths["validated_vertices"])
