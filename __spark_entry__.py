@@ -834,8 +834,12 @@ def q_media_features(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Contract surface
 # ---------------------------------------------------------------------------
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: BFS crawl over the sf0.001 corpus."""
-    return q_crawl_bfs(spark, "/root/testdata/sf0.001")
+    """Flagship smoke: 2-round BFS crawl over the sf0.001 corpus (cold-start
+    cheap; the full 6-round crawl-ordering gate is queries()['crawl_bfs'])."""
+    ckpt = _crawled(spark, "/root/testdata/sf0.001", "web", 2)
+    return read_output(spark, ckpt, "vertices").select(
+        F.col("id").alias("url"), F.col("iteration").cast("int").alias("iteration")
+    )
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

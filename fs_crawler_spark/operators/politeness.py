@@ -26,8 +26,9 @@ from pyspark.sql import functions as F
 class BatchSelection(NamedTuple):
     batch: DataFrame  # rows to fetch this round
     deferred: DataFrame  # over-budget rows that stay in the frontier
-    spool: DataFrame | None  # shared rank-1 subplan — persist() this across
-    # the round's jobs so neither branch recomputes the salted window
+    spool: DataFrame | None  # shared ranked subplan (oversized hosts only) —
+    # persist() this across the round's jobs so neither branch recomputes
+    # the salted window
 
 
 def _order_cols():
@@ -48,22 +49,46 @@ def select_batch(
     the union of phase-1 losers and phase-2 losers, not an anti-join of the
     frontier against the batch (the round-1 shape, which re-ran the whole
     two-phase selection plus a frontier-sized shuffle inside the frontier
-    write). Both branches hang off the shared rank-1 ``spool`` subplan.
+    write). Both branches hang off the shared ranked ``spool`` subplan.
+
+    UNDER-BUDGET BYPASS: a host whose whole frontier fits in the budget
+    selects everything — ranking it is wasted work, and the phase-2
+    ``partitionBy(host)`` window funnels a hot host through ONE task (the
+    hub holds a third of the frontier; profiled as the dominant serial
+    stage of big rounds). So a cheap per-host count picks the few oversized
+    hosts, their rows are split off with a BROADCAST semi-join (no frontier
+    shuffle), and only they run the salted two-phase top-k. Rounds where no
+    host exceeds the budget run no window at all; selection semantics are
+    identical (rank <= budget is trivially true for every bypassed row).
     """
     if host_budget is None:
         return BatchSelection(frontier, frontier.limit(0), None)
 
-    salted = frontier.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(salt_n)))
+    over_hosts = (
+        frontier.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > host_budget)
+        .select("host")
+    )
+    small = frontier.join(F.broadcast(over_hosts), on="host", how="left_anti")
+    big = frontier.join(F.broadcast(over_hosts), on="host", how="left_semi")
+
+    salted = big.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(salt_n)))
     w1 = Window.partitionBy("host", "_salt").orderBy(*_order_cols())
     flagged = salted.withColumn("_rn1", F.row_number().over(w1))
     survivors = flagged.filter(F.col("_rn1") <= host_budget)
     w2 = Window.partitionBy("host").orderBy(*_order_cols())
     ranked = survivors.withColumn("_rn2", F.row_number().over(w2))
     drop = ["_salt", "_rn1", "_rn2"]
-    batch = ranked.filter(F.col("_rn2") <= host_budget).drop(*drop)
+    batch = small.unionByName(
+        ranked.filter(F.col("_rn2") <= host_budget).drop(*drop).select(*small.columns)
+    )
     deferred = (
         flagged.filter(F.col("_rn1") > host_budget)
         .drop("_salt", "_rn1")
-        .unionByName(ranked.filter(F.col("_rn2") > host_budget).drop(*drop))
+        .select(*small.columns)
+        .unionByName(
+            ranked.filter(F.col("_rn2") > host_budget).drop(*drop).select(*small.columns)
+        )
     )
     return BatchSelection(batch, deferred, flagged)

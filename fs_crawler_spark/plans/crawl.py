@@ -65,6 +65,37 @@ class CrawlConfig:
     bloom_expected_per_shard: int = 100_000
     compact_every: int | None = 8  # rewrite seen as one snapshot every K
     # rounds (Iceberg compaction analog) so read fan-in stays bounded
+    frontier_mode: str = "auto"  # "rewrite" | "delta" | "auto".
+    # rewrite: commit the FULL new frontier every round — O(frontier) parquet
+    #   per round, fine when the frontier drains every round (no budget).
+    # delta: commit only this round's NEW urls; the frontier is reconstructed
+    #   as (last full frontier ∪ deltas since) anti-join (seen deltas since) —
+    #   per-round durable writes drop from O(frontier) to O(new urls). At a
+    #   10^10-URL budget-constrained frontier the full rewrite IS the
+    #   per-round write bottleneck (the batch is a tiny fraction of the
+    #   frontier); deltas are disjoint by construction (candidates are
+    #   anti-joined against the current frontier via the cached politeness
+    #   spool), so reconstruction needs no dedup and round counts stay exact.
+    #   A full frontier still lands every ``compact_every`` rounds (same
+    #   cadence as seen compaction) to bound read fan-in.
+    # auto: PER-ROUND choice — delta only when the frontier is much larger
+    #   than the previous round's batch (urls_in > 4x prev batch, i.e. the
+    #   rewrite would mostly re-copy deferred rows) and a budget is set;
+    #   measured at bench scale: always-delta is a net loss on small
+    #   frontiers (extra anti-join stages + delta read fan-in), a net win
+    #   when deferred >> batch.
+    csv_dir: str | None = None  # per-round reference-CSV appends (the
+    # GraphWriter.end_iteration cadence) — opt-in; see CrawlCsvAppender
+    csv_basename: str = "graph"
+    csv_save_living: bool = True
+    pages_url_partitioned: bool = False  # caller declares the pages corpus
+    # is hash-partitioned/bucketed by url (an Iceberg bucket(N, url) table,
+    # or a `.repartition(K, "url").persist()` cache). The fetch join then
+    # hints SHUFFLE_HASH with the batch as build side: pages stream from
+    # their partitions — no corpus shuffle, no sort — and only the batch
+    # shuffles. Measured at 16c/16M: the fetch stage drops 12.4s -> 5.1s.
+    # With an UNpartitioned corpus the same hint would shuffle the whole
+    # html-carrying corpus into hash maps (measured 66s) — hence opt-in.
     aqe_in_loop: bool = False  # AQE re-plans every stage of every job — pure
     # driver latency on the iterative path (measured 26% of wall at 16 cores,
     # 8M pages), and redundant here: the loop's skew risk (hot hosts) is
@@ -91,8 +122,6 @@ def _committed_counts(spark: SparkSession, store, round_i: int) -> dict[str, int
     union of per-table count aggregates (parquet footer metadata — no data
     pages are read). Authoritative where observations can race (see caller).
     ``batch`` = sum of the committed per-partition lineage rows."""
-    import os
-
     legs = []
     for name in ("vertices", "edges", "frontier"):
         legs.append(
@@ -101,9 +130,8 @@ def _committed_counts(spark: SparkSession, store, round_i: int) -> dict[str, int
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.lit(name).alias("t"), F.col("n"))
         )
-    log_path = os.path.join(store._round_dir(round_i), "crawl_log")
     legs.append(
-        spark.read.parquet(log_path)
+        store.read(spark, round_i, "crawl_log")
         .filter(F.col("partition_id") >= 0)
         .filter(F.col("iteration") == round_i)
         .groupBy()
@@ -116,6 +144,54 @@ def _committed_counts(spark: SparkSession, store, round_i: int) -> dict[str, int
     return {r["t"]: int(r["n"]) for r in u.collect()}
 
 
+
+
+def _load_frontier(spark: SparkSession, store, up_to_round: int) -> DataFrame:
+    """The frontier as of AFTER ``up_to_round``, from committed state only
+    (lineage-truncating read-back, both frontier modes).
+
+    Rounds whose manifest says ``frontier_full`` (every rewrite-mode round,
+    delta-mode compaction rounds, and legacy manifests without the key)
+    committed the complete frontier; later delta rounds committed disjoint
+    additions, and their seen deltas are the tombstones for rows fetched (or
+    robots-blocked) since the base. Reconstruction is
+        (base ∪ adds) LEFT ANTI JOIN (seen deltas since base)
+    — no dedup needed: deltas are written disjoint from the then-current
+    frontier and from each other (a re-discovered url is either still in the
+    frontier, or in seen)."""
+    rounds = [r for r in store.committed_rounds() if r <= up_to_round]
+    base = None
+    for r in rounds:
+        if store.manifest(r).get("meta", {}).get("frontier_full", True):
+            base = r
+    if base is None:  # no full frontier yet: fresh delta-mode crawl
+        base = -1
+        f = None
+    else:
+        f = store.read(spark, base, "frontier")
+    tomb = None
+    for r in rounds:
+        if r <= base:
+            continue
+        add = store.read(spark, r, "frontier")
+        f = add if f is None else f.unionByName(add)
+        s = store.read(spark, r, "seen").select("url_hash", "url")
+        tomb = s if tomb is None else tomb.unionByName(s)
+    if f is None:
+        raise FileNotFoundError(f"no committed frontier under {store.root}")
+    if tomb is not None:
+        cols = f.columns  # the join moves key columns first; keep the schema
+        f = f.join(tomb, on=["url_hash", "url"], how="left_anti").select(*cols)
+    return f
+
+
+def load_frontier(spark: SparkSession, checkpoint_dir: str) -> DataFrame:
+    """Public accessor: the current frontier of a crawl checkpoint."""
+    store = CheckpointStore(checkpoint_dir)
+    latest = store.latest_round()
+    if latest is None:
+        raise FileNotFoundError(f"no committed rounds under {checkpoint_dir}")
+    return _load_frontier(spark, store, latest)
 
 
 def seed_frontier(spark: SparkSession, seeds: list[str]) -> DataFrame:
@@ -147,7 +223,10 @@ def crawl_round(
     # "Fetch": join against the corpus. A url missing from pages is the
     # 404-analog (session.py:137-146 warn-and-continue): it still enters the
     # seen-set so it is never retried, but produces no vertex.
-    fetched = pages.join(batch.select("url"), on="url", how="inner")
+    batch_urls = batch.select("url")
+    if cfg.pages_url_partitioned:
+        batch_urls = batch_urls.hint("shuffle_hash")
+    fetched = pages.join(batch_urls, on="url", how="inner")
 
     if cfg.mode == "persons":
         parsed = extract_persons(fetched)
@@ -299,11 +378,16 @@ def run_crawl(
     checkpoint_dir: str,
     cfg: CrawlConfig | None = None,
     robots: DataFrame | None = None,
+    store: Any | None = None,
 ) -> dict[str, Any]:
     """Resumable driver loop: one snapshot commit per round until the frontier
-    is exhausted or ``cfg.max_rounds`` is hit. Returns run totals."""
+    is exhausted or ``cfg.max_rounds`` is hit. Returns run totals.
+
+    ``store`` overrides the snapshot backend (default: parquet
+    ``CheckpointStore``; pass an ``IcebergCheckpointStore`` when an Iceberg
+    catalog is configured — same commit/read surface)."""
     cfg = cfg or CrawlConfig()
-    store = CheckpointStore(checkpoint_dir)
+    store = store or CheckpointStore(checkpoint_dir)
 
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     if not cfg.aqe_in_loop:
@@ -322,9 +406,12 @@ def _run_crawl_loop(
     store: CheckpointStore,
     robots: DataFrame | None,
 ) -> dict[str, Any]:
+    delta_allowed = cfg.frontier_mode == "delta" or (
+        cfg.frontier_mode == "auto" and cfg.host_budget is not None
+    )
     latest = store.latest_round()
     if latest is not None:
-        frontier = store.read(spark, latest, "frontier")
+        frontier = _load_frontier(spark, store, latest)
         seen = store.read_union(spark, "seen", up_to_round=latest)
         start_round = latest + 1
     else:
@@ -347,7 +434,7 @@ def _run_crawl_loop(
         try:
             prev = store.manifest(latest).get("meta", {}).get("settings", {})
             if prev.get("n_shards") == cfg.n_shards:
-                cand = spark.read.parquet(f"{store._round_dir(latest)}/bloom")
+                cand = store.aux_read(spark, latest, "bloom")
                 head = cand.select("m", "k").limit(1).collect()
                 m_exp, k_exp = _params(cfg.bloom_expected_per_shard, 0.01)
                 if head and head[0]["m"] == m_exp and head[0]["k"] == k_exp:
@@ -366,32 +453,38 @@ def _run_crawl_loop(
     # produces, so round r's totals PIGGYBACK on round r+1's crawl_log write
     # (zero extra jobs); the final round's totals flush once after the loop.
     pending_totals: list[tuple] = []
+    prev_batch_n: int | None = None  # feeds the auto frontier-mode heuristic
     if latest is not None:
         # A crash between round `latest`'s commit and the next one loses
         # exactly that round's totals row (it would have piggybacked on the
         # next commit). Re-derive it from the committed counts so the log
         # export never silently skews cumulative counts. Duration and the
         # dedup metric are unrecoverable -> 0.
-        import os
-
-        log_path = os.path.join(store._round_dir(latest), "crawl_log")
-        has_totals = (
-            os.path.exists(log_path)
-            and spark.read.parquet(log_path)
-            .filter((F.col("partition_id") == -1) & (F.col("iteration") == latest))
-            .limit(1)
-            .count()
-            > 0
-        )
+        try:
+            has_totals = (
+                store.read(spark, latest, "crawl_log")
+                .filter(
+                    (F.col("partition_id") == -1) & (F.col("iteration") == latest)
+                )
+                .limit(1)
+                .count()
+                > 0
+            )
+        except Exception:
+            has_totals = False
         if not has_totals:
             stats = _committed_counts(spark, store, latest)
+            if store.manifest(latest).get("meta", {}).get("frontier_full", True):
+                n_front = int(stats["frontier"])
+            else:  # committed table is a delta; count the reconstruction
+                n_front = frontier.count()
             pending_totals.append(
                 (
                     latest,
                     -1,
                     0.0,
                     int(stats["vertices"]),
-                    int(stats["frontier"]),
+                    n_front,
                     int(stats["edges"]),
                     int(stats["batch"]),
                     int(stats["vertices"]),
@@ -453,22 +546,51 @@ def _run_crawl_loop(
         # flag it in the manifest, so subsequent read_unions start here.
         seen_out = plan.seen_delta
         compacted: list[str] = []
-        if (
+        compaction_round = bool(
             cfg.compact_every
             and seen is not None
             and (round_i + 1) % cfg.compact_every == 0
-        ):
+        )
+        if compaction_round:
             seen_out = seen.unionByName(plan.seen_delta).repartition(
                 cfg.n_shards, F.col("shard")
             )
             compacted = ["seen"]
+
+        # Frontier commit: full rewrite, or (delta mode) only this round's
+        # NEW urls — disjoint from the current frontier via an anti-join
+        # against the cached politeness spool, so reconstruction needs no
+        # dedup and |next frontier| = urls_in - batch + delta exactly.
+        # Full frontiers land on seen-compaction rounds to bound read fan-in.
+        delta_this_round = delta_allowed and not (
+            cfg.frontier_mode == "auto"
+            and (prev_batch_n is None or urls_in <= 4 * prev_batch_n)
+        )
+        frontier_full = (not delta_this_round) or compaction_round
+        seeds_in_delta = False
+        if frontier_full:
+            frontier_out = plan.new_frontier
+        else:
+            # disjointness vs the CURRENT frontier (re-adds of still-queued
+            # urls): anti-join against the committed-parquet-backed frontier
+            # itself (the politeness spool only covers over-budget hosts)
+            cand_new = plan.candidates.join(
+                frontier.select("url_hash", "url"),
+                on=["url_hash", "url"],
+                how="left_anti",
+            )
+            seeds_in_delta = round_i == start_round and latest is None
+            if seeds_in_delta:
+                # fresh crawl: the seed frontier is the first "addition"
+                cand_new = frontier.unionByName(cand_new)
+            frontier_out = cand_new
 
         # The commit's 5 concurrent writes are the ONLY actions on the round
         # critical path; they fill every observation as a side effect.
         store.commit(
             round_i,
             {
-                "frontier": plan.new_frontier,
+                "frontier": frontier_out,
                 "seen": seen_out,
                 "vertices": plan.vertices_delta,
                 "edges": plan.edges_delta,
@@ -479,6 +601,7 @@ def _run_crawl_loop(
             # full run configuration rides in every snapshot manifest.
             meta={
                 "urls_in": urls_in,
+                "frontier_full": frontier_full,
                 "settings": {
                     "max_rounds": cfg.max_rounds,
                     "host_budget": cfg.host_budget,
@@ -506,7 +629,14 @@ def _run_crawl_loop(
         batch_n = stats["batch"]
         urls_fetched = stats["vertices"]
         n_edges = stats["edges"]
-        n_frontier_next = stats["frontier"]
+        if frontier_full:
+            n_frontier_next = stats["frontier"]
+        elif seeds_in_delta:
+            # the committed delta includes the seed frontier itself
+            n_frontier_next = stats["frontier"] - batch_n
+        else:
+            # exact: deltas are disjoint from the frontier and batch ⊆ frontier
+            n_frontier_next = urls_in - batch_n + stats["frontier"]
         # deduped is cosmetic (log only): observation value, never recomputed
         try:
             n_raw_candidates = int(obs["raw_candidates"].get["n"])
@@ -538,7 +668,11 @@ def _run_crawl_loop(
 
         # Lineage truncation + exact resume equivalence: next round reads the
         # committed snapshot, not in-memory lineage.
-        frontier = store.read(spark, round_i, "frontier")
+        frontier = (
+            store.read(spark, round_i, "frontier")
+            if frontier_full
+            else _load_frontier(spark, store, round_i)
+        )
         seen = store.read_union(spark, "seen", up_to_round=round_i)
         if cfg.use_bloom:
             from ..operators.bloom import build_bloom_shards, merge_bloom_shards
@@ -552,20 +686,36 @@ def _run_crawl_loop(
             # materialize the merged blobs next to the snapshot: truncates
             # the OR-chain lineage across rounds and gives resume a filter
             # to reload instead of rebuilding from the whole seen-set
-            bloom_path = f"{store._round_dir(round_i)}/bloom"
-            merged.write.mode("overwrite").parquet(bloom_path)
-            bloom_shards = spark.read.parquet(bloom_path)
+            store.aux_write(round_i, "bloom", merged)
+            bloom_shards = store.aux_read(spark, round_i, "bloom")
+        if cfg.csv_dir:
+            from ..sources.csv_compat import CrawlCsvAppender
+
+            CrawlCsvAppender(
+                cfg.csv_dir, cfg.csv_basename, cfg.csv_save_living
+            ).end_iteration(spark, store, round_i, duration)
+
         urls_in = n_frontier_next
+        prev_batch_n = batch_n
         rounds_run += 1
         total_fetched += urls_fetched
+
+    if cfg.csv_dir and rounds_run > 0:
+        from ..sources.csv_compat import CrawlCsvAppender
+
+        CrawlCsvAppender(cfg.csv_dir, cfg.csv_basename, cfg.csv_save_living).finalize(
+            spark, store, start_round + rounds_run - 1
+        )
 
     if pending_totals:
         # flush the final round's totals (one append for the whole run;
         # NOTE: no coalesce(1) — coalescing a 1-row local relation costs
         # ~6 s of fixed overhead per write on this Spark build)
-        spark.createDataFrame(pending_totals, CRAWL_LOG).write.mode(
-            "append"
-        ).parquet(f"{store._round_dir(start_round + rounds_run - 1)}/crawl_log")
+        store.append(
+            start_round + rounds_run - 1,
+            "crawl_log",
+            spark.createDataFrame(pending_totals, CRAWL_LOG),
+        )
 
     return {
         "rounds": rounds_run,

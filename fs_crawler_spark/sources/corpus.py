@@ -36,19 +36,21 @@ BASE_TS = "2025-01-01 00:00:00"
 HUB_HOST = "hub.example.com"
 
 
-def _host_expr(d):
+def _host_expr(d, n_hosts: int = 7):
     return F.when(d % 3 == 0, F.lit(HUB_HOST)).otherwise(
-        F.concat(F.lit("src"), (d % 7).cast("string"), F.lit(".example.com"))
+        F.concat(F.lit("src"), (d % n_hosts).cast("string"), F.lit(".example.com"))
     )
 
 
-def _url_expr(d):
-    return F.concat(F.lit("https://"), _host_expr(d), F.lit("/doc/"), d.cast("string"))
+def _url_expr(d, n_hosts: int = 7):
+    return F.concat(
+        F.lit("https://"), _host_expr(d, n_hosts), F.lit("/doc/"), d.cast("string")
+    )
 
 
-def doc_url(doc_id: int) -> str:
+def doc_url(doc_id: int, n_hosts: int = 7) -> str:
     """Driver-side mirror of ``_url_expr`` (for seed lists / assertions)."""
-    host = HUB_HOST if doc_id % 3 == 0 else f"src{doc_id % 7}.example.com"
+    host = HUB_HOST if doc_id % 3 == 0 else f"src{doc_id % n_hosts}.example.com"
     return f"https://{host}/doc/{doc_id}"
 
 
@@ -57,6 +59,7 @@ def build_pages(
     sf_dir: str,
     limit_docs: int | None = None,
     multiplier: int = 1,
+    n_hosts: int = 7,
 ) -> DataFrame:
     """documents.parquet -> pages DataFrame (schemas.PAGES).
 
@@ -67,6 +70,12 @@ def build_pages(
     arithmetic, used by the bench to measure the crawl in the data-bound
     regime instead of the scheduling-bound tiny-SF regime. Default: the table
     as-is.
+
+    ``n_hosts`` widens the non-hub host universe (src0..src{n-1}); the
+    DEFAULT (7) is the pinned rule every DuckDB oracle reconstructs — only
+    the scaling bench overrides it (8 total hosts caps the per-host
+    politeness window at 8 tasks, a synthetic-corpus artifact: real web
+    frontiers have 10^6+ hosts). Seeds must use ``doc_url(i, n_hosts)``.
     """
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
     if limit_docs is not None:
@@ -86,9 +95,9 @@ def build_pages(
     n = docs.count()
     d = F.col("doc_id")
     children = F.array(
-        F.when(d * 2 + 1 < n, _url_expr(d * 2 + 1)),
-        F.when(d * 2 + 2 < n, _url_expr(d * 2 + 2)),
-        F.when((d * 7 + 3) % n != d, _url_expr((d * 7 + 3) % n)),
+        F.when(d * 2 + 1 < n, _url_expr(d * 2 + 1, n_hosts)),
+        F.when(d * 2 + 2 < n, _url_expr(d * 2 + 2, n_hosts)),
+        F.when((d * 7 + 3) % n != d, _url_expr((d * 7 + 3) % n, n_hosts)),
     )
     links = F.filter(children, lambda x: x.isNotNull())
     anchors = F.concat_ws(
@@ -104,7 +113,7 @@ def build_pages(
         F.lit("</body></html>"),
     )
     return docs.select(
-        _url_expr(d).alias("url"),
+        _url_expr(d, n_hosts).alias("url"),
         (F.to_timestamp(F.lit(BASE_TS)) + F.make_interval(secs=d.cast("decimal(18,6)"))).alias(
             "warc_ts"
         ),

@@ -186,3 +186,57 @@ def test_bloom_resume_param_mismatch_rebuilds(spark, pages120, tmp_path):
     # fetch-exactly-once invariant: no url appears twice
     v = read_output(spark, d, "vertices")
     assert v.count() == v.select("id").distinct().count()
+
+
+def test_frontier_delta_mode_identical_and_resumable(spark, pages120, tmp_path):
+    """Delta-frontier commits (auto under a host budget) must produce
+    byte-identical tables and crawl ordering vs full rewrites, and resume
+    from the reconstructed frontier."""
+    rw = str(tmp_path / "rw")
+    dl = str(tmp_path / "dl")
+    res = str(tmp_path / "res")
+    budget = 7  # defers most of the frontier -> deltas actually differ
+    run_crawl(
+        spark, pages120, [doc_url(0)], rw,
+        CrawlConfig(max_rounds=6, host_budget=budget, frontier_mode="rewrite"),
+    )
+    run_crawl(
+        spark, pages120, [doc_url(0)], dl,
+        CrawlConfig(max_rounds=6, host_budget=budget, frontier_mode="delta"),
+    )
+    for table in ("vertices", "edges", "seen"):
+        a = sorted(map(tuple, read_output(spark, rw, table).collect()))
+        b = sorted(map(tuple, read_output(spark, dl, table).collect()))
+        assert a == b, table
+    # reconstructed frontier == committed full frontier, row for row
+    from fs_crawler_spark.plans.crawl import load_frontier
+
+    fa = sorted(map(tuple, load_frontier(spark, rw).collect()))
+    fb = sorted(map(tuple, load_frontier(spark, dl).collect()))
+    assert fa == fb
+    # exact frontier gauge in the log totals at every round
+    log_rw = {
+        r["iteration"]: r["frontier"]
+        for r in read_output(spark, rw, "crawl_log")
+        .filter(F.col("partition_id") == -1).collect()
+    }
+    log_dl = {
+        r["iteration"]: r["frontier"]
+        for r in read_output(spark, dl, "crawl_log")
+        .filter(F.col("partition_id") == -1).collect()
+    }
+    assert log_rw == log_dl
+    # kill/resume through the delta reconstruction path
+    run_crawl(
+        spark, pages120, [doc_url(0)], res,
+        CrawlConfig(max_rounds=3, host_budget=budget, frontier_mode="delta"),
+    )
+    r2 = run_crawl(
+        spark, pages120, [doc_url(0)], res,
+        CrawlConfig(max_rounds=6, host_budget=budget, frontier_mode="delta"),
+    )
+    assert r2["start_round"] == 3
+    for table in ("vertices", "edges", "seen"):
+        a = sorted(map(tuple, read_output(spark, rw, table).collect()))
+        b = sorted(map(tuple, read_output(spark, res, table).collect()))
+        assert a == b, f"resume {table}"

@@ -172,3 +172,121 @@ def test_migrate_job_end_to_end(spark, tmp_path):
     by_id = {r["id"]: r for r in v}
     assert by_id["B"]["surname"] == "Doe" and by_id["B"]["given_name"] == "Jo"
     assert by_id["A"]["surname"] == "" and by_id["A"]["given_name"] == ""
+
+
+def test_per_round_csv_appends(spark, sf_dir, tmp_path):
+    """CrawlConfig.csv_dir drives the reference GraphWriter.end_iteration
+    cadence: per-iteration vertex/within-edge appends + log rows + frontier
+    rewrite, spanning/frontier edge files at the final iteration — and the
+    cumulative result agrees with the one-shot write_crawl_csv export."""
+    import glob
+
+    from fs_crawler_spark.plans.crawl import CrawlConfig, load_frontier, read_output, run_crawl
+    from fs_crawler_spark.sources.corpus import build_pages, doc_url
+    from fs_crawler_spark.sources.csv_compat import write_crawl_csv
+
+    pages = build_pages(spark, sf_dir, limit_docs=60).cache()
+    ckpt = str(tmp_path / "ckpt")
+    csv_dir = str(tmp_path / "csv")
+    res = run_crawl(
+        spark, pages, [doc_url(0)], ckpt,
+        CrawlConfig(max_rounds=4, host_budget=10, csv_dir=csv_dir),
+    )
+    assert res["rounds"] == 4
+
+    # one iter= append dir per round for the appended files
+    for fname in ("graph.vertices.csv", "graph.edges.csv", "graph.log.csv"):
+        iters = sorted(glob.glob(f"{csv_dir}/{fname}/iter=*"))
+        assert len(iters) == 4, fname
+    # final-iteration files + the per-round frontier rewrite exist
+    assert glob.glob(f"{csv_dir}/graph.spanning.edges.csv/part-*.csv")
+    assert glob.glob(f"{csv_dir}/graph.frontier.edges.csv/part-*.csv")
+    assert glob.glob(f"{csv_dir}/graph.frontier.vertices.csv/part-*.csv")
+
+    vertices = read_output(spark, ckpt, "vertices")
+    edges = read_output(spark, ckpt, "edges")
+    frontier = load_frontier(spark, ckpt)
+
+    # appended vertices == one-shot export vertices
+    appended_v = spark.read.option("header", True).csv(f"{csv_dir}/graph.vertices.csv")
+    assert appended_v.count() == vertices.count()
+    assert appended_v.select("#external_id").distinct().count() == vertices.count()
+
+    # per-round within appends sum to the end-state within class; the last
+    # cumulative log row equals the one-shot reconstruction's last row
+    oneshot = str(tmp_path / "oneshot")
+    log = read_output(spark, ckpt, "crawl_log")
+    write_crawl_csv(vertices, edges, frontier, log, oneshot, basename="g")
+    n_within_oneshot = spark.read.option("header", True).csv(
+        f"{oneshot}/g.edges.csv"
+    ).count()
+    appended_within = spark.read.option("header", True).csv(
+        f"{csv_dir}/graph.edges.csv"
+    )
+    assert appended_within.count() == n_within_oneshot
+    # a url appended as within in one round is never re-appended
+    pair = appended_within.select("#source_vertex", "destination_vertex")
+    assert pair.count() == pair.distinct().count()
+
+    applog = spark.read.option("header", True).csv(f"{csv_dir}/graph.log.csv")
+    last = applog.orderBy(F.col("#iteration").cast("int").desc()).first()
+    oslog = spark.read.option("header", True).csv(f"{oneshot}/g.log.csv")
+    oslast = oslog.orderBy(F.col("#iteration").cast("int").desc()).first()
+    for col in ("vertices", "edges", "spanning_edges", "frontier_edges"):
+        assert int(last[col]) == int(oslast[col]), col
+    pages.unpersist()
+
+
+def test_validate_job_end_to_end(spark, sf_dir, tmp_path):
+    """jobs/validate_job.py: the validate-fs CLI analog over both input
+    layouts, stats row + histograms + validated exports."""
+    import glob
+    import sys
+
+    sys.path.insert(0, "/root/repo/jobs")
+    import validate_job
+
+    from fs_crawler_spark.plans.crawl import CrawlConfig, run_crawl
+    from fs_crawler_spark.sources.corpus import build_persons_pages, doc_url
+
+    pages = build_persons_pages(spark, sf_dir, limit_docs=60).cache()
+    ckpt = str(tmp_path / "ckpt")
+    run_crawl(
+        spark, pages, [doc_url(0)], ckpt,
+        CrawlConfig(max_rounds=6, mode="persons"),
+    )
+
+    class A:
+        checkpoint = ckpt
+        csv_dir = None
+        basename = "graph"
+
+    v, e, f = validate_job.load_graph(spark, A)
+    result = validate_job.validate(spark, v, e, f)
+    s = result["stats"]
+    assert s["vertex_count"] == v.count() > 0
+    assert s["edge_count"] == e.count() > 0
+    assert isinstance(result["invalid_by_decade"], dict)
+    assert isinstance(result["invalid_by_iteration"], dict)
+
+    # CSV-layout input path + validated exports
+    from fs_crawler_spark.sources.csv_compat import write_crawl_csv, write_validated_csv
+
+    fam_dir = str(tmp_path / "csvfam")
+    log = None
+    write_crawl_csv(v, e, f.withColumnRenamed("id", "url"), log, fam_dir, basename="g")
+
+    class B:
+        checkpoint = None
+        csv_dir = fam_dir
+        basename = "g"
+
+    v2, e2, f2 = validate_job.load_graph(spark, B)
+    r2 = validate_job.validate(spark, v2, e2, f2)
+    # within + spanning edges survive the roundtrip into the validator view
+    assert r2["stats"]["vertex_count"] == s["vertex_count"]
+
+    out = str(tmp_path / "validated")
+    paths = write_validated_csv(v, e, out, basename="g")
+    assert all(glob.glob(f"{p}/part-*.csv") for p in paths.values())
+    pages.unpersist()
