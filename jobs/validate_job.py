@@ -74,7 +74,8 @@ def validate(spark: SparkSession, vertices, edges, frontier) -> dict:
         if r["iteration"] is not None
     }
     return {
-        "stats": {k: int(v) for k, v in stats_row.asDict().items()},
+        # sum() over an empty invalid-set aggregates to NULL -> 0
+        "stats": {k: int(v) if v is not None else 0 for k, v in stats_row.asDict().items()},
         "invalid_by_decade": decade,
         "invalid_by_iteration": iteration,
     }
