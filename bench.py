@@ -45,7 +45,9 @@ def main() -> None:
     # -- headline: budgeted crawl to frontier exhaustion --------------------
     mult = int(os.environ.get("SPARK_GRAFT_SCALE_MULT", "20"))
     budget = int(os.environ.get("SPARK_GRAFT_HOST_BUDGET", "5000"))
-    pages = build_pages(spark, sf_dir, multiplier=mult).persist()
+    # corpus cached url-partitioned (the bucket(N, url) Iceberg-table analog)
+    # so the per-round fetch join streams pages and shuffles only the batch
+    pages = build_pages(spark, sf_dir, multiplier=mult).repartition(cpus, "url").persist()
     n_pages = pages.count()  # materialize corpus outside the timed section
     ckpt = tempfile.mkdtemp(prefix="bench_crawl_")
     t0 = time.monotonic()
@@ -54,7 +56,7 @@ def main() -> None:
         pages,
         [doc_url(0)],
         ckpt,
-        CrawlConfig(max_rounds=200, host_budget=budget),
+        CrawlConfig(max_rounds=200, host_budget=budget, pages_url_partitioned=True),
     )
     crawl_sec = time.monotonic() - t0
     timings["crawl_exhaustion"] = round(crawl_sec, 3)
