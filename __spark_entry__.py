@@ -168,14 +168,22 @@ def _crawled(
     mode: str,
     max_rounds: int,
     host_budget: int | None = None,
+    robots_rules: tuple[tuple[str, str], ...] | None = None,
 ) -> str:
     """Run (or reuse) a crawl and return its checkpoint dir. Deterministic
     corpora make in-process reuse safe; each queries() entry stays a pure
     function of (spark, sf_dir)."""
-    key = (sf_dir, mode, max_rounds, host_budget)
+    key = (sf_dir, mode, max_rounds, host_budget, robots_rules)
     if key not in _CRAWL_CACHE:
         builder = build_persons_pages if mode == "persons" else build_pages
         pages = builder(spark, sf_dir).persist()
+        robots = (
+            spark.createDataFrame(
+                list(robots_rules), "host string, disallow_prefix string"
+            )
+            if robots_rules
+            else None
+        )
         ckpt = tempfile.mkdtemp(prefix=f"crawl_{mode}_")
         run_crawl(
             spark,
@@ -183,6 +191,7 @@ def _crawled(
             [doc_url(0)],
             ckpt,
             CrawlConfig(max_rounds=max_rounds, host_budget=host_budget, mode=mode),
+            robots=robots,
         )
         pages.unpersist()
         _CRAWL_CACHE[key] = ckpt
@@ -193,6 +202,23 @@ def q_crawl_bfs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Full crawl loop (SURVEY.md §3.1): 6 BFS rounds, no budget; the
     url -> iteration assignment is the crawl-ordering correctness gate."""
     ckpt = _crawled(spark, sf_dir, "web", 6)
+    return read_output(spark, ckpt, "vertices").select(
+        F.col("id").alias("url"), F.col("iteration").cast("int").alias("iteration")
+    )
+
+
+def q_crawl_robots(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robots-gated crawl (north_rule "robots.txt-gated batch fetch rounds"):
+    hub urls whose path starts with /doc/3 are disallowed — they enter the
+    seen-set (never retried) but are never fetched and never expand, so whole
+    subtrees behind blocked hubs disappear from the BFS."""
+    ckpt = _crawled(
+        spark,
+        sf_dir,
+        "web",
+        6,
+        robots_rules=(("hub.example.com", "/doc/3"),),
+    )
     return read_output(spark, ckpt, "vertices").select(
         F.col("id").alias("url"), F.col("iteration").cast("int").alias("iteration")
     )
@@ -742,6 +768,46 @@ def q_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_minhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-cluster assignment: connected components over the MinHash-LSH
+    pair graph (hash-to-min label propagation; one keyed shuffle per round).
+    Returns (doc_id, component) with component = the cluster's canonical
+    keeper — the final step of a training-data dedup pipeline (keep rows
+    where doc_id == component)."""
+    from fs_crawler_spark.operators.dedup import connected_components
+
+    pairs = minhash_lsh_pairs(
+        _docs(spark, sf_dir), threshold=0.2, num_hashes=16, bands=4, shingle=4
+    )
+    return connected_components(pairs).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+def q_capture_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window analytics over page captures — the batch
+    algebra of streaming/windowed_capture_rate (A9 analog): captures per
+    (1-minute window, host). Window start reported RELATIVE to the corpus
+    base timestamp so the oracle is timezone-free."""
+    from fs_crawler_spark.functions.urls import url_host
+    from fs_crawler_spark.sources.corpus import BASE_TS
+
+    pages = build_pages(spark, sf_dir)
+    base_us = F.unix_micros(F.to_timestamp(F.lit(BASE_TS)))
+    return (
+        pages.groupBy(
+            F.window("warc_ts", "1 minute").alias("w"),
+            url_host(F.col("url")).alias("host"),
+        )
+        .agg(F.count(F.lit(1)).alias("captures"))
+        .select(
+            (F.unix_micros(F.col("w.start")) - base_us).alias("window_start_us"),
+            "host",
+            "captures",
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Similarity search family (embeddings)
 # ---------------------------------------------------------------------------
@@ -845,6 +911,7 @@ def entry(spark: SparkSession) -> DataFrame:
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         "crawl_bfs": q_crawl_bfs,
+        "crawl_robots": q_crawl_robots,
         "crawl_budget_reachable": q_crawl_budget_reachable,
         "persons_crawl": q_persons_crawl,
         "persons_edges_resolved": q_persons_edges_resolved,
@@ -877,6 +944,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "exact_dup_groups": q_exact_dup_groups,
         "token_jaccard": q_token_jaccard,
         "minhash_lsh": q_minhash_lsh,
+        "minhash_dup_groups": q_minhash_dup_groups,
+        "capture_windows": q_capture_windows,
         "simhash_near_dup": q_simhash_near_dup,
         "events_sessions": q_events_sessions,
         "ann_topk": q_ann_topk,
@@ -1216,6 +1285,21 @@ bfs(d, iter) AS (
 mins AS (SELECT d, min(iter) AS iteration FROM bfs GROUP BY d)
 SELECT u.url AS url, m.iteration::INT AS iteration
 FROM mins m JOIN urls u ON u.d = m.d
+""",
+        "crawl_robots": f"""
+WITH RECURSIVE {_CTES},
+-- blocked(d): hub host (d%3=0) AND path /doc/d starts with '/doc/3'
+bfs(d, iter) AS (
+    SELECT 0, 0
+    UNION
+    SELECT l.dst, b.iter + 1 FROM bfs b JOIN links l ON l.src = b.d
+    WHERE b.iter + 1 <= 5
+      AND NOT (b.d % 3 = 0 AND CAST(b.d AS VARCHAR) LIKE '3%')
+),
+mins AS (SELECT d, min(iter) AS iteration FROM bfs GROUP BY d)
+SELECT u.url AS url, m.iteration::INT AS iteration
+FROM mins m JOIN urls u ON u.d = m.d
+WHERE NOT (m.d % 3 = 0 AND CAST(m.d AS VARCHAR) LIKE '3%')
 """,
         "crawl_budget_reachable": f"""
 WITH RECURSIVE {_CTES},
@@ -1625,6 +1709,29 @@ JOIN sz sb ON sb.doc_id = id_b
 WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.5
 """,
         "minhash_lsh": _minhash_sql(16, 4, 4),
+        "minhash_dup_groups": f"""
+WITH RECURSIVE pairs AS ({_minhash_sql(16, 4, 4)}),
+e AS (
+    SELECT id_a AS u, id_b AS v FROM pairs
+    UNION ALL
+    SELECT id_b, id_a FROM pairs
+),
+reach(u, v) AS (
+    SELECT u, v FROM e
+    UNION
+    SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
+)
+SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS component
+FROM reach GROUP BY u
+""",
+        "capture_windows": """
+SELECT CAST((doc_id // 60) * 60 * 1000000 AS BIGINT) AS window_start_us,
+       CASE WHEN doc_id % 3 = 0 THEN 'hub.example.com'
+            ELSE 'src' || (doc_id % 7) || '.example.com' END AS host,
+       count(*) AS captures
+FROM documents
+GROUP BY 1, 2
+""",
         "simhash_near_dup": f"""
 WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents),
 d AS (SELECT doc_id, list_transform(tk, x -> md5(x)) AS d0,

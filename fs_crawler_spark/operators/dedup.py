@@ -424,3 +424,64 @@ def simhash_dup_groups(
         .agg(F.count("*").alias("n_docs"), F.min(id_col).alias("keeper_id"))
         .filter(F.col("n_docs") >= 2)
     )
+
+
+# ---------------------------------------------------------------------------
+# Near-dup clustering: connected components over a pair list
+# ---------------------------------------------------------------------------
+def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+    """(id_a, id_b) undirected near-dup pairs -> (id, component) where
+    component = the min id reachable (the canonical "keeper" of each dup
+    cluster — the standard final step of a dedup pipeline: drop every row
+    whose id != component).
+
+    Hash-to-min label propagation (Pregel-style driver loop): each round,
+    every node takes the min label among itself and its neighbors — one
+    keyed shuffle per round, converging in O(cluster diameter) rounds
+    (near-dup clusters are shallow; chains longer than ``max_iter`` raise).
+    Per-round state is persisted and the previous round unpersisted, so
+    memory stays O(|nodes|); the convergence check is a limit(1) count —
+    control plane only, no data collect.
+    """
+    edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
+    edges = edges.unionByName(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = (
+        edges.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
+    ).persist()
+    for _ in range(max_iter):
+        nbr_min = (
+            edges.join(
+                labels.select(F.col("id").alias("v"), "comp"), on="v"
+            )
+            .groupBy("u")
+            .agg(F.min("comp").alias("nbr_comp"))
+            .select(F.col("u").alias("id"), "nbr_comp")
+        )
+        new_labels = (
+            labels.join(nbr_min, on="id", how="left")
+            .select(
+                "id",
+                F.least(
+                    F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
+                ).alias("comp"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.join(
+                labels.select("id", F.col("comp").alias("_old")), on="id"
+            )
+            .filter(F.col("comp") != F.col("_old"))
+            .limit(1)
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    else:
+        raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
+    edges.unpersist()
+    return labels

@@ -180,3 +180,24 @@ def test_simhash_kernel_matches_expression(spark, docs):
         for r in simhash_blocks_kernel(docs, "doc_id", "text", 64, 4).collect()
     }
     assert expr == kern
+
+
+def test_connected_components_chain_and_cliques(spark):
+    """Hash-to-min label propagation: chains merge to the min id across
+    multiple rounds; disjoint cliques keep separate canonicals."""
+    from fs_crawler_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [
+            # a 5-chain (requires >1 propagation round): 10-11-12-13-14
+            (10, 11), (11, 12), (12, 13), (13, 14),
+            # a triangle
+            (20, 21), (21, 22), (20, 22),
+            # an isolated pair
+            (30, 31),
+        ],
+        "id_a long, id_b long",
+    )
+    got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
+                   20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
