@@ -201,3 +201,14 @@ def test_connected_components_chain_and_cliques(spark):
     got = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
     assert got == {10: 10, 11: 10, 12: 10, 13: 10, 14: 10,
                    20: 20, 21: 20, 22: 20, 30: 30, 31: 30}
+
+
+def test_minhash_verify_kernel_parity(spark, sf_dir):
+    """The Arrow exact-Jaccard verify kernel must be bit-identical to the
+    Column (array_intersect/array_union + HALF_UP round) path."""
+    from fs_crawler_spark.operators.dedup import minhash_lsh_pairs
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    a = set(map(tuple, minhash_lsh_pairs(docs, threshold=0.2, verify="column").collect()))
+    b = set(map(tuple, minhash_lsh_pairs(docs, threshold=0.2, verify="arrow").collect()))
+    assert a == b and len(a) > 0
