@@ -172,6 +172,19 @@ EXTRACT_JOB = textwrap.dedent(
 )
 
 
+# weak variants of the kernel workloads: data and partitions scale with the
+# level (1M pages/core, 4 partitions/core), matching crawl_weak's protocol
+OPS_WEAK_JOB = OPS_JOB.replace("N = 16_000_000", "N = 1_000_000 * cores").replace(
+    "shuffle_partitions=64", "shuffle_partitions=4 * cores"
+).replace('"workload": "ops"', '"workload": "ops_weak"')
+
+EXTRACT_WEAK_JOB = EXTRACT_JOB.replace(
+    "N = 16_000_000", "N = 1_000_000 * cores"
+).replace("shuffle_partitions=32", "shuffle_partitions=4 * cores").replace(
+    '"workload": "extract"', '"workload": "extract_weak"'
+)
+
+
 def run(job: str, cores: int) -> dict:
     # weak-scaling: a 4N cluster has 4N x the memory — heap scales with the
     # level (6g/core), like every other per-core resource
@@ -193,6 +206,8 @@ def main() -> None:
     results = {}
     jobs = [
         ("crawl_weak", CRAWL_WEAK_JOB),
+        ("ops_weak", OPS_WEAK_JOB),
+        ("extract_weak", EXTRACT_WEAK_JOB),
         ("crawl", CRAWL_JOB),
         ("crawl_wide", CRAWL_WIDE_JOB),
         ("ops", OPS_JOB),

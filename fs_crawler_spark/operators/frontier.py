@@ -45,10 +45,25 @@ def dedup_frontier(frontier: DataFrame) -> DataFrame:
 
     Deterministic: per url keep min(priority), min(discovered_iter) — not
     ``dropDuplicates`` on unordered input (SURVEY.md §7 hard part (b)).
+
+    Grouping keys are EXACTLY the anti-join keys (url_hash, url) so the
+    downstream seen anti-join reuses this aggregate's exchange instead of
+    re-shuffling the whole candidate set (one full candidate shuffle per
+    crawl round saved). ``host`` is a pure function of the url and is
+    recomputed AFTER the aggregate (over the deduped rows) rather than
+    carried through it — min(string) would demote the whole-candidate-set
+    aggregation from HashAggregate to SortAggregate.
     """
-    return frontier.groupBy("url", "url_hash", "host").agg(
+    deduped = frontier.groupBy(*JOIN_KEY).agg(
         F.min("priority").alias("priority"),
         F.min("discovered_iter").alias("discovered_iter"),
+    )
+    return deduped.select(
+        "url_hash",
+        "url",
+        url_host(F.col("url")).alias("host"),
+        "priority",
+        "discovered_iter",
     )
 
 
