@@ -29,6 +29,7 @@ from fs_crawler_spark.functions.textfns import (
     stopword_ratio,
     text_sha,
     token_count,
+    ws_tokens,
 )
 from fs_crawler_spark.functions.urls import url_hash, url_host
 from fs_crawler_spark.operators.dedup import (
@@ -695,6 +696,42 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The composed keep-set of a training-data quality pipeline: English,
+    quality score >= 0.5, sane token count — the decision a 100 TB corpus
+    filter applies row-wise before dedup."""
+    docs = _docs(spark, sf_dir)
+    t = F.col("text")
+    scored = docs.select(
+        "doc_id",
+        token_count(t).cast("long").alias("n_tokens"),
+        quality_score(t).alias("quality"),
+        lang_id(t).alias("lang_pred"),
+    )
+    return scored.filter(
+        (F.col("lang_pred") == "en")
+        & (F.col("quality") >= 0.5)
+        & F.col("n_tokens").between(10, 100_000)
+    ).select("doc_id", "quality")
+
+
+def q_token_doc_freq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary document-frequency table (the IDF input of quality/rarity
+    scoring): top-100 tokens by #docs containing them, deterministic
+    (df desc, token asc) tiebreak. Explode of per-doc DISTINCT tokens ->
+    one count shuffle keyed by token."""
+    docs = _docs(spark, sf_dir)
+    toks = docs.select(
+        F.explode(F.array_distinct(ws_tokens(F.col("text")))).alias("token")
+    )
+    return (
+        toks.groupBy("token")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), F.col("token").asc())
+        .limit(100)
+    )
+
+
 def q_doc_sha(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _docs(spark, sf_dir).select("doc_id", text_sha(F.col("text")).alias("sha"))
 
@@ -938,6 +975,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_last_per_user": q_events_last_per_user,
         "events_type_stats": q_events_type_stats,
         "doc_stats": q_doc_stats,
+        "quality_filter": q_quality_filter,
+        "token_doc_freq": q_token_doc_freq,
         "doc_sha": q_doc_sha,
         "doc_fingerprint": q_doc_fingerprint,
         "simhash": q_simhash,
@@ -1666,6 +1705,37 @@ SELECT doc_id, n_tokens, n_bpe,
        round(0.4 * least(1.0, n_tokens / 100.0) + 0.3 * (1.0 - pr) + 0.3 * sr, 4) AS quality,
        {lang_case} AS lang_pred
 FROM m
+""",
+        "quality_filter": f"""
+WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),
+m AS (
+    SELECT doc_id,
+           len(tk) AS n_tokens,
+           CASE WHEN length(text) > 0
+                THEN (length(text) - length(regexp_replace(text, '[.,!?;:]', '', 'g')))::DOUBLE / length(text)
+                ELSE 0.0 END AS pr,
+           CASE WHEN len(tk) > 0
+                THEN len(list_filter(tk, t -> list_contains({_EN_STOP}, t)))::DOUBLE / len(tk)
+                ELSE 0.0 END AS sr,
+           tk
+    FROM t
+),
+scored AS (
+    SELECT doc_id, n_tokens,
+           round(0.4 * least(1.0, n_tokens / 100.0) + 0.3 * (1.0 - pr) + 0.3 * sr, 4) AS quality,
+           {lang_case} AS lang_pred
+    FROM m
+)
+SELECT doc_id, quality FROM scored
+WHERE lang_pred = 'en' AND quality >= 0.5 AND n_tokens BETWEEN 10 AND 100000
+""",
+        "token_doc_freq": f"""
+WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents),
+x AS (SELECT doc_id, unnest(tk) AS token FROM t)
+SELECT token, count(*) AS df
+FROM x GROUP BY token
+ORDER BY df DESC, token ASC
+LIMIT 100
 """,
         "doc_sha": "SELECT doc_id, md5(text) AS sha FROM documents",
         "doc_fingerprint": f"""
