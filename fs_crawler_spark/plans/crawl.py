@@ -411,6 +411,13 @@ def _run_crawl_loop(
     )
     latest = store.latest_round()
     if latest is not None:
+        # Stores with mutable shared tables (Iceberg) first discard rows a
+        # crashed attempt appended without reaching its manifest row, so the
+        # re-run round appends exactly once. The parquet store needs no hook —
+        # its round-dir overwrite is idempotent by construction.
+        rollback = getattr(store, "rollback_to_committed", None)
+        if rollback is not None:
+            rollback()
         frontier = _load_frontier(spark, store, latest)
         seen = store.read_union(spark, "seen", up_to_round=latest)
         start_round = latest + 1
