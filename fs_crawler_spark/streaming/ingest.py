@@ -154,6 +154,7 @@ def ingest_batch(
     )
 
     maybe_cached = None
+    blobs = None
     if marker is None:
         fresh = canon  # cold start: nothing committed yet (seen-gated, not bloom)
     else:
@@ -196,8 +197,12 @@ def ingest_batch(
     ).parquet(os.path.join(out_dir, "seen", f"batch={batch_id}"))
 
     delta = build_bloom_shards(fresh, n_shards, bloom_expected_per_shard)
-    prev_blobs = load_bloom(spark, out_dir) if marker is not None else None
-    merged = delta if prev_blobs is None else merge_bloom_shards(prev_blobs, delta)
+    # prev blobs = the ALREADY-RESOLVED probe blobs — when the marker-named
+    # version was missing they were rebuilt from the seen index above, and a
+    # second load_bloom here would return None and publish a merged bloom
+    # holding only THIS batch's urls (false negatives for every earlier url,
+    # which skip the exact probe and re-ingest duplicates — round-3 advisory)
+    merged = delta if blobs is None else merge_bloom_shards(blobs, delta)
     version = f"v{batch_id}"
     merged.write.mode("overwrite").parquet(os.path.join(out_dir, "bloom", version))
 
@@ -207,10 +212,16 @@ def ingest_batch(
         {"batch_id": batch_id, "bloom_version": version, "n_shards": n_shards},
     )
 
-    # best-effort GC of superseded bloom versions (readers follow the marker)
+    # best-effort GC with RETENTION-OF-1: keep the version the PREVIOUS marker
+    # named alongside the new one, so a concurrent reader that resolved the
+    # old marker just before the swap never loses its blobs mid-read (it
+    # would only degrade to a rebuild, but the spurious cost is avoidable)
+    keep = {version}
+    if marker is not None:
+        keep.add(marker["bloom_version"])
     bloom_root = os.path.join(out_dir, "bloom")
     for d in os.listdir(bloom_root):
-        if d.startswith("v") and d != version:
+        if d.startswith("v") and d not in keep:
             shutil.rmtree(os.path.join(bloom_root, d), ignore_errors=True)
 
     fresh.unpersist()

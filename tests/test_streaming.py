@@ -98,6 +98,17 @@ def test_ingest_batch_replay_idempotent(spark, sf_dir, tmp_path):
     assert read_ingested(spark, out).select("url").distinct().count() == 60
     # bloom was rebuilt and republished under the new marker
     assert load_bloom(spark, out) is not None
+    # ...and the republished bloom must contain the REBUILT history, not just
+    # batch 1's urls (round-3 advisory): a following batch overlapping the
+    # pre-loss urls 0-39 must still dedup to zero via the bloom -> exact path
+    ingest_batch(pages, 2, out)
+    assert read_ingested(spark, out).count() == 60
+    assert read_ingested(spark, out).select("url").distinct().count() == 60
+    # GC retention-of-1: the version the previous marker named survives the
+    # swap (a concurrent reader on the old marker keeps its blobs); older
+    # versions are collected
+    versions = sorted(os.listdir(os.path.join(out, "bloom")))
+    assert versions == ["v1", "v2"]
 
 
 @pytest.mark.slow
@@ -235,3 +246,69 @@ def test_sessionizer_out_of_order_multibatch(spark, tmp_path):
     got = {key(r) for r in out_rows}
     assert (1, ts(8000), ts(8000), 1) in got  # split earlier session
     assert (1, ts(9900), ts(10010), 4) in got  # merged, start moved to min
+    # sealed emission: nothing emitted before the watermark proved it, so no
+    # partial/retracted variants of these sessions appear
+    starts = [k[1] for k in got]
+    assert starts.count(ts(8000)) == 1 and starts.count(ts(9900)) == 1
+
+
+@pytest.mark.slow
+def test_sessionizer_late_bridge_not_split(spark, tmp_path):
+    """Round-3 advisory: with watermark_delay_s > gap_s, a session that looks
+    closed inside a batch must NOT emit until the watermark passes end + gap —
+    a later in-watermark event can bridge the gap. gap=600, delay=6000:
+    batch {0, 700} then batch {500} must yield ONE session (0, 700, 3),
+    never (0,0,1) + (500,700,2)."""
+    import datetime as dt
+
+    from pyspark.sql.types import LongType, StructField, StructType, TimestampType
+
+    from fs_crawler_spark.streaming.sessions import sessionize_stream
+
+    landing = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ck")
+    schema = StructType(
+        [
+            StructField("user_id", LongType(), False),
+            StructField("ts", TimestampType(), False),
+        ]
+    )
+
+    def ts(sec):
+        return dt.datetime(2025, 1, 1) + dt.timedelta(seconds=sec)
+
+    out_rows = []
+
+    def drop_and_drain(rows):
+        spark.createDataFrame(rows, schema).coalesce(1).write.mode("append").parquet(
+            landing
+        )
+        q = (
+            sessionize_stream(
+                spark.readStream.schema(schema).parquet(landing),
+                gap_s=600,
+                watermark_delay_s=6000,
+            )
+            .writeStream.foreachBatch(lambda df, _id: out_rows.extend(df.collect()))
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    drop_and_drain([(1, ts(0)), (1, ts(700))])
+    assert out_rows == []  # 0..0 looks closed but is NOT sealed yet
+    drop_and_drain([(1, ts(500))])  # late, in-watermark: bridges the gap
+    drop_and_drain([(1, ts(100000))])  # advances the watermark past the seal
+
+    got = {
+        (
+            r["user_id"],
+            r["session_start"].replace(tzinfo=None),
+            r["session_end"].replace(tzinfo=None),
+            r["n_events"],
+        )
+        for r in out_rows
+    }
+    assert (1, ts(0), ts(700), 3) in got
+    assert (1, ts(0), ts(0), 1) not in got
