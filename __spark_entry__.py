@@ -821,6 +821,35 @@ def q_minhash_dup_groups(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_simhash_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster assignment for the SimHash family: connected components
+    over the hamming<=3 pigeonhole pair graph — same label-propagation
+    operator as minhash_dup_groups, different similarity family (the verdict's
+    dup-group parity ask). Returns (doc_id, component = canonical keeper)."""
+    from fs_crawler_spark.operators.dedup import connected_components
+
+    pairs = simhash_near_dup_pairs(
+        _docs(spark, sf_dir), max_hamming=3, bits=64, blocks=4
+    )
+    return connected_components(pairs, max_iter=40).select(
+        F.col("id").alias("doc_id"), F.col("comp").alias("component")
+    )
+
+
+def q_emb_dup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dup-cluster assignment for the embedding family: connected components
+    over the LSH-bucketed cosine>=0.2 pair graph (full-table scale path).
+    Returns (vec_id, component = canonical keeper)."""
+    from fs_crawler_spark.operators.dedup import connected_components
+
+    pairs = embedding_near_dup_pairs(
+        _emb(spark, sf_dir), threshold=0.2, n_planes=4, dim=64
+    )
+    return connected_components(pairs, max_iter=40).select(
+        F.col("id").alias("vec_id"), F.col("comp").alias("component")
+    )
+
+
 def q_capture_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window analytics over page captures — the batch
     algebra of streaming/windowed_capture_rate (A9 analog): captures per
@@ -986,6 +1015,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "minhash_dup_groups": q_minhash_dup_groups,
         "capture_windows": q_capture_windows,
         "simhash_near_dup": q_simhash_near_dup,
+        "simhash_dup_components": q_simhash_dup_components,
+        "emb_dup_components": q_emb_dup_components,
         "events_sessions": q_events_sessions,
         "ann_topk": q_ann_topk,
         "emb_near_dup": q_emb_near_dup,
@@ -1288,6 +1319,30 @@ SELECT * FROM (
 """
 
 
+def _components_sql(pairs_sql: str, id_name: str) -> str:
+    """Connected components over an (id_a, id_b) pair query: transitive
+    closure by recursive CTE, component = min reachable id — the oracle for
+    the engine's hash-to-min label propagation, shared by every similarity
+    family's dup-group query."""
+    # CTE names are prefixed cc_ — the embedded pairs_sql may carry its own
+    # nested WITH, and an outer CTE of the same name shadows it in DuckDB
+    return f"""
+WITH RECURSIVE cc_pairs AS ({pairs_sql}),
+cc_edges AS (
+    SELECT id_a AS u, id_b AS v FROM cc_pairs
+    UNION ALL
+    SELECT id_b, id_a FROM cc_pairs
+),
+cc_reach(u, v) AS (
+    SELECT u, v FROM cc_edges
+    UNION
+    SELECT r.u, e.v FROM cc_reach r JOIN cc_edges e ON e.u = r.v
+)
+SELECT u AS {id_name}, CAST(least(u, min(v)) AS BIGINT) AS component
+FROM cc_reach GROUP BY u
+"""
+
+
 def oracle_sql() -> dict[str, str]:
     # Oracle-hygiene rule (round-3 sweep): every integer aggregate that appears
     # in a FINAL SELECT must be explicitly CAST to BIGINT.  DuckDB's sum()
@@ -1312,6 +1367,31 @@ def oracle_sql() -> dict[str, str]:
         )
         + " ELSE 'und' END"
     )
+    # shared by simhash_near_dup and its connected-components query
+    _sim_pairs_sql = f"""
+WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents),
+d AS (SELECT doc_id, list_transform(tk, x -> md5(x)) AS d0,
+             list_transform(tk, x -> md5('1:' || x)) AS d1 FROM t),
+s AS (SELECT doc_id, [({_simhash64_block_sql(0)}),
+                      ({_simhash64_block_sql(1)}),
+                      ({_simhash64_block_sql(2)}),
+                      ({_simhash64_block_sql(3)})] AS shb FROM d),
+banded AS (
+    SELECT doc_id, shb, b.range::INT AS blk, shb[b.range::INT + 1] AS val
+    FROM s, range(4) b
+),
+cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, a.shb AS sa, b.doc_id AS id_b, b.shb AS sb
+    FROM banded a JOIN banded b ON a.blk = b.blk AND a.val = b.val
+    WHERE a.doc_id < b.doc_id
+)
+SELECT * FROM (
+    SELECT id_a, id_b,
+           (bit_count(xor(sa[1], sb[1])) + bit_count(xor(sa[2], sb[2])) +
+            bit_count(xor(sa[3], sb[3])) + bit_count(xor(sa[4], sb[4])))::INT AS hamming
+    FROM cand
+) WHERE hamming <= 3
+"""
     return {
         "crawl_bfs": f"""
 WITH RECURSIVE {_CTES},
@@ -1779,21 +1859,12 @@ JOIN sz sb ON sb.doc_id = id_b
 WHERE round(i::DOUBLE / (sa.sz + sb.sz - i), 4) >= 0.5
 """,
         "minhash_lsh": _minhash_sql(16, 4, 4),
-        "minhash_dup_groups": f"""
-WITH RECURSIVE pairs AS ({_minhash_sql(16, 4, 4)}),
-e AS (
-    SELECT id_a AS u, id_b AS v FROM pairs
-    UNION ALL
-    SELECT id_b, id_a FROM pairs
-),
-reach(u, v) AS (
-    SELECT u, v FROM e
-    UNION
-    SELECT r.u, e.v FROM reach r JOIN e ON e.u = r.v
-)
-SELECT u AS doc_id, CAST(least(u, min(v)) AS BIGINT) AS component
-FROM reach GROUP BY u
-""",
+        "minhash_dup_groups": _components_sql(_minhash_sql(16, 4, 4), "doc_id"),
+        "simhash_dup_components": _components_sql(_sim_pairs_sql, "doc_id"),
+        "emb_dup_components": _components_sql(
+            _emb_lsh_near_dup_sql(threshold=0.2, n_planes=4, dim=64, seed=42),
+            "vec_id",
+        ),
         "capture_windows": """
 SELECT CAST((doc_id // 60) * 60 * 1000000 AS BIGINT) AS window_start_us,
        CASE WHEN doc_id % 3 = 0 THEN 'hub.example.com'
@@ -1802,30 +1873,7 @@ SELECT CAST((doc_id // 60) * 60 * 1000000 AS BIGINT) AS window_start_us,
 FROM documents
 GROUP BY 1, 2
 """,
-        "simhash_near_dup": f"""
-WITH t AS (SELECT doc_id, list_distinct({_TOKS}) AS tk FROM documents),
-d AS (SELECT doc_id, list_transform(tk, x -> md5(x)) AS d0,
-             list_transform(tk, x -> md5('1:' || x)) AS d1 FROM t),
-s AS (SELECT doc_id, [({_simhash64_block_sql(0)}),
-                      ({_simhash64_block_sql(1)}),
-                      ({_simhash64_block_sql(2)}),
-                      ({_simhash64_block_sql(3)})] AS shb FROM d),
-banded AS (
-    SELECT doc_id, shb, b.range::INT AS blk, shb[b.range::INT + 1] AS val
-    FROM s, range(4) b
-),
-cand AS (
-    SELECT DISTINCT a.doc_id AS id_a, a.shb AS sa, b.doc_id AS id_b, b.shb AS sb
-    FROM banded a JOIN banded b ON a.blk = b.blk AND a.val = b.val
-    WHERE a.doc_id < b.doc_id
-)
-SELECT * FROM (
-    SELECT id_a, id_b,
-           (bit_count(xor(sa[1], sb[1])) + bit_count(xor(sa[2], sb[2])) +
-            bit_count(xor(sa[3], sb[3])) + bit_count(xor(sa[4], sb[4])))::INT AS hamming
-    FROM cand
-) WHERE hamming <= 3
-""",
+        "simhash_near_dup": _sim_pairs_sql,
         "events_sessions": """
 WITH g AS (
     SELECT user_id, ts, event_id,

@@ -2,8 +2,10 @@
 
 Headline metric (BASELINE.json): URLs fetched+deduped/sec, crawl rounds to
 frontier exhaustion, on the synthetic Common-Crawl-style corpus derived from
-$SPARK_GRAFT_SF_DIR/documents.parquet, with the politeness budget active.
-Secondary: wall seconds for each headline operator family.
+$SPARK_GRAFT_SF_DIR/documents.parquet, with the politeness budget active —
+the MEDIAN of SPARK_GRAFT_CRAWL_SAMPLES (default 3) full crawls, because
+single runs on this box swing ±20-40%. Secondary: wall seconds for each
+headline operator family.
 
 Env:
   SPARK_GRAFT_SF_DIR      corpus dir (default /root/testdata/sf0.1)
@@ -49,19 +51,26 @@ def main() -> None:
     # so the per-round fetch join streams pages and shuffles only the batch
     pages = build_pages(spark, sf_dir, multiplier=mult).repartition(cpus, "url").persist()
     n_pages = pages.count()  # materialize corpus outside the timed section
-    ckpt = tempfile.mkdtemp(prefix="bench_crawl_")
-    t0 = time.monotonic()
-    res = run_crawl(
-        spark,
-        pages,
-        [doc_url(0)],
-        ckpt,
-        CrawlConfig(max_rounds=200, host_budget=budget, pages_url_partitioned=True),
-    )
-    crawl_sec = time.monotonic() - t0
+    # median of N runs: single-run numbers on this box swing ±20-40%, so the
+    # official JSON carries the same statistic the analysis uses
+    n_samples = int(os.environ.get("SPARK_GRAFT_CRAWL_SAMPLES", "3"))
+    samples = []
+    for _ in range(n_samples):
+        ckpt = tempfile.mkdtemp(prefix="bench_crawl_")
+        t0 = time.monotonic()
+        res = run_crawl(
+            spark,
+            pages,
+            [doc_url(0)],
+            ckpt,
+            CrawlConfig(max_rounds=200, host_budget=budget, pages_url_partitioned=True),
+        )
+        samples.append((time.monotonic() - t0, res))
+        shutil.rmtree(ckpt, ignore_errors=True)
+    samples.sort(key=lambda s: s[0])
+    crawl_sec, res = samples[len(samples) // 2]
     timings["crawl_exhaustion"] = round(crawl_sec, 3)
     urls_per_sec = res["total_fetched"] / crawl_sec if crawl_sec > 0 else 0.0
-    shutil.rmtree(ckpt, ignore_errors=True)
     pages.unpersist()
 
     # -- secondary operator families ----------------------------------------
@@ -104,6 +113,7 @@ def main() -> None:
             "rounds": res["rounds"],
             "total_fetched": res["total_fetched"],
             "seconds": round(crawl_sec, 3),
+            "samples_sec": [round(s, 3) for s, _ in samples],
             "host_budget": budget,
             "corpus_pages": n_pages,
         },

@@ -485,17 +485,24 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     every node takes the min label among itself and its neighbors — one
     keyed shuffle per round, converging in O(cluster diameter) rounds
     (near-dup clusters are shallow; chains longer than ``max_iter`` raise).
-    Per-round state is persisted and the previous round unpersisted, so
-    memory stays O(|nodes|); the convergence check is a limit(1) count —
-    control plane only, no data collect.
+    Per-round state is ``localCheckpoint``ed (eager): caching alone keeps
+    the full logical plan, and each round's plan references the previous
+    round's TWICE (neighbor-min join + the new-label join), so lineage
+    doubles per round and a >15-round propagation OOMs the DRIVER on plan
+    bookkeeping alone. Checkpointing truncates lineage to the materialized
+    partitions — plans stay O(1) per round, memory O(|nodes|). (A
+    fault-tolerant cluster run would point this at ``checkpoint()`` with a
+    reliable dir; the operator's shuffle shape is identical.) The
+    convergence check is a limit(1) count — control plane only, no data
+    collect.
     """
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
     edges = edges.unionByName(
         edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
+    ).localCheckpoint()
     labels = (
         edges.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
-    ).persist()
+    ).localCheckpoint()
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -513,7 +520,7 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
             )
-            .persist()
+            .localCheckpoint()
         )
         changed = (
             new_labels.join(
@@ -523,11 +530,9 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .limit(1)
             .count()
         )
-        labels.unpersist()
         labels = new_labels
         if changed == 0:
             break
     else:
         raise RuntimeError(f"connected_components did not converge in {max_iter} rounds")
-    edges.unpersist()
     return labels
