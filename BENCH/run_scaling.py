@@ -203,6 +203,7 @@ def run(job: str, cores: int) -> dict:
 
 def main() -> None:
     n = int(sys.argv[1]) if len(sys.argv) > 1 else 4
+    samples = int(os.environ.get("SCALING_SAMPLES", "1"))
     results = {}
     jobs = [
         ("crawl_weak", CRAWL_WEAK_JOB),
@@ -217,24 +218,42 @@ def main() -> None:
         wanted = os.environ["SCALING_ONLY"].split(",")
         jobs = [(n, j) for n, j in jobs if n in wanted]
     for name, job in jobs:
-        lo = run(job, n)
-        hi = run(job, 4 * n)
-        eff = hi["throughput"] / (4 * lo["throughput"])
-        results[name] = {"low": lo, "high": hi, "efficiency": round(eff, 3)}
+        pairs = []
+        for _ in range(samples):
+            lo = run(job, n)
+            hi = run(job, 4 * n)
+            eff = hi["throughput"] / (4 * lo["throughput"])
+            pairs.append({"low": lo, "high": hi, "efficiency": round(eff, 3)})
+        effs = sorted(p["efficiency"] for p in pairs)
+        results[name] = {
+            "samples": pairs,
+            "median_efficiency": effs[len(effs) // 2]
+            if len(effs) % 2
+            else round((effs[len(effs) // 2 - 1] + effs[len(effs) // 2]) / 2, 3),
+        }
 
     stamp = datetime.now(timezone.utc).isoformat(timespec="seconds")
-    block = f"\n## Scaling run {stamp} (clean machine, sequential JVMs)\n\n"
+    block = f"\n## Scaling run {stamp} (clean machine, sequential JVMs"
+    if samples > 1:
+        block += f", {samples} samples/workload — median reported"
+    block += ")\n\n"
     block += (
         f"| workload | local[{n}] | local[{4*n}] | unit | efficiency "
         f"(x@{4*n} / 4·x@{n}) |\n|---|---|---|---|---|\n"
     )
     for name, r in results.items():
         unit = "urls/s" if name == "crawl" else "pages/s"
-        block += (
-            f"| {name} | {r['low']['throughput']} ({r['low']['sec']}s) "
-            f"| {r['high']['throughput']} ({r['high']['sec']}s) | {unit} "
-            f"| **{r['efficiency']}** |\n"
-        )
+        for p in r["samples"]:
+            block += (
+                f"| {name} | {p['low']['throughput']} ({p['low']['sec']}s) "
+                f"| {p['high']['throughput']} ({p['high']['sec']}s) | {unit} "
+                f"| **{p['efficiency']}** |\n"
+            )
+        if samples > 1:
+            block += (
+                f"| {name} — **median of {samples}** | | | | "
+                f"**{r['median_efficiency']}** |\n"
+            )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:
         f.write(block)
     print(json.dumps(results))

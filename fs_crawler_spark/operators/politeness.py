@@ -55,24 +55,51 @@ def select_batch(
     selects everything — ranking it is wasted work, and the phase-2
     ``partitionBy(host)`` window funnels a hot host through ONE task (the
     hub holds a third of the frontier; profiled as the dominant serial
-    stage of big rounds). So a cheap per-host count picks the few oversized
-    hosts, their rows are split off with a BROADCAST semi-join (no frontier
-    shuffle), and only they run the salted two-phase top-k. Rounds where no
-    host exceeds the budget run no window at all; selection semantics are
-    identical (rank <= budget is trivially true for every bypassed row).
+    stage of big rounds). One scalar aggregate job at PLAN time (two ints:
+    host count, over-budget host count) picks the shape:
+
+      * no host over budget   -> the frontier IS the batch; zero joins,
+        zero windows (the common big-corpus round — and the round-2 bench
+        shape, where the split's two broadcast joins were pure overhead);
+      * every host over       -> the whole frontier runs the salted
+        two-phase top-k directly; no split joins;
+      * mixed                 -> the few oversized hosts split off with a
+        BROADCAST semi-join (no frontier shuffle) and only they are ranked.
+
+    Selection semantics are identical in all three shapes (rank <= budget
+    is trivially true for every bypassed row). The eager aggregate costs one
+    small job per round — the frontier is a committed-parquet read, and its
+    map-side-combined host counts are tiny next to the two full broadcast-
+    join passes the blind split always paid.
     """
     if host_budget is None:
         return BatchSelection(frontier, frontier.limit(0), None)
 
-    over_hosts = (
-        frontier.groupBy("host")
-        .agg(F.count(F.lit(1)).alias("_n"))
-        .filter(F.col("_n") > host_budget)
-        .select("host")
-    )
-    small = frontier.join(F.broadcast(over_hosts), on="host", how="left_anti")
-    big = frontier.join(F.broadcast(over_hosts), on="host", how="left_semi")
+    counts = frontier.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
+    stats = counts.agg(
+        F.count(F.lit(1)).alias("hosts"),
+        F.coalesce(
+            F.sum((F.col("_n") > host_budget).cast("int")), F.lit(0)
+        ).alias("over"),
+    ).collect()[0]
+    n_hosts, n_over = int(stats["hosts"]), int(stats["over"])
+    if n_over == 0:
+        return BatchSelection(frontier, frontier.limit(0), None)
 
+    cols = frontier.columns
+    if n_over == n_hosts:
+        small = None
+        big = frontier
+    else:
+        over_hosts = counts.filter(F.col("_n") > host_budget).select("host")
+        # the `on="host"` joins move host first; re-select the frontier's
+        # column order so every shape returns an identical schema
+        small = frontier.join(
+            F.broadcast(over_hosts), on="host", how="left_anti"
+        ).select(*cols)
+        big = frontier.join(
+            F.broadcast(over_hosts), on="host", how="left_semi"
+        ).select(*cols)
     salted = big.withColumn("_salt", F.pmod(F.col("url_hash"), F.lit(salt_n)))
     w1 = Window.partitionBy("host", "_salt").orderBy(*_order_cols())
     flagged = salted.withColumn("_rn1", F.row_number().over(w1))
@@ -80,15 +107,14 @@ def select_batch(
     w2 = Window.partitionBy("host").orderBy(*_order_cols())
     ranked = survivors.withColumn("_rn2", F.row_number().over(w2))
     drop = ["_salt", "_rn1", "_rn2"]
-    batch = small.unionByName(
-        ranked.filter(F.col("_rn2") <= host_budget).drop(*drop).select(*small.columns)
-    )
+    winners = ranked.filter(F.col("_rn2") <= host_budget).drop(*drop).select(*cols)
+    batch = winners if small is None else small.unionByName(winners)
     deferred = (
         flagged.filter(F.col("_rn1") > host_budget)
         .drop("_salt", "_rn1")
-        .select(*small.columns)
+        .select(*cols)
         .unionByName(
-            ranked.filter(F.col("_rn2") > host_budget).drop(*drop).select(*small.columns)
+            ranked.filter(F.col("_rn2") > host_budget).drop(*drop).select(*cols)
         )
     )
     return BatchSelection(batch, deferred, flagged)

@@ -43,9 +43,11 @@ from ..functions.extract import extract_pages, extract_persons
 from ..functions.urls import url_shard
 from ..operators.frontier import (
     anti_join_seen,
+    anti_join_seen_chain,
     as_frontier_rows,
     dedup_frontier,
-    merge_frontier,
+    frontier_from_links,
+    merge_frontier_fww,
 )
 from ..operators.politeness import select_batch
 from ..operators.robots import robots_gate
@@ -208,8 +210,11 @@ def crawl_round(
     cfg: CrawlConfig,
     observations: dict[str, Observation] | None = None,
     bloom_shards: DataFrame | None = None,
+    seen_parts: list[DataFrame] | None = None,
 ) -> RoundPlan:
-    """One BFS round as a pure function of snapshot state. All lazy.
+    """One BFS round as a pure function of snapshot state. Lazy except for
+    ``select_batch``'s one scalar host-stats job (two ints at plan time,
+    picking the politeness shape — see operators/politeness.py).
 
     ``observations`` (optional) attaches Observation counters to the fetched /
     edges / candidates / frontier nodes; they fill during whatever action
@@ -280,16 +285,18 @@ def crawl_round(
         )
         # Within-round first-write-wins (F4); cross-round dedup is structural —
         # a url is fetched exactly once, so (source, destination) never recurs.
+        # type/id are per-round literals in web mode, so min() first-write-wins
+        # collapses to DISTINCT: the exchange ships only the two url strings
+        # (persons mode keeps the real min(rel_id) aggregate below).
         edges_delta = (
-            out_links.select(
+            out_links.select("source", F.col("raw_url").alias("destination"))
+            .distinct()
+            .select(
                 "source",
-                F.col("raw_url").alias("destination"),
+                "destination",
                 F.lit(cfg.edge_type).alias("type"),
                 F.lit(None).cast("string").alias("id"),
             )
-            .groupBy("source", "destination")
-            .agg(F.min("type").alias("type"), F.min("id").alias("id"))
-            .select("source", "destination", "type", "id")
         )
     if "edges" in obs:
         edges_delta = edges_delta.observe(obs["edges"], F.count(F.lit(1)).alias("n"))
@@ -305,16 +312,27 @@ def crawl_round(
 
     batch_seen = _to_seen(batch)
 
-    raw_candidates = dedup_frontier(
-        as_frontier_rows(out_links.select(F.col("raw_url").alias("url")), round_i + 1)
+    raw_candidates = frontier_from_links(
+        out_links.select(F.col("raw_url").alias("url")), round_i + 1
     )
     if "raw_candidates" in obs:
         raw_candidates = raw_candidates.observe(
             obs["raw_candidates"], F.count(F.lit(1)).alias("n")
         )
-    seen_keys = batch_seen.select("url_hash", "url")
-    if seen is not None:
-        seen_keys = seen.select("url_hash", "url").unionByName(seen_keys)
+    # The probe side: either the loop-maintained LSM list of cached,
+    # pre-partitioned seen deltas (zero-shuffle chained anti-joins), or the
+    # flat union read (standalone/pure-function use). This round's batch is
+    # always the last probe in the chain.
+    if seen_parts is not None:
+        probes = [*seen_parts, batch_seen.select("url_hash", "url")]
+    elif seen is not None:
+        probes = [
+            seen.select("url_hash", "url").unionByName(
+                batch_seen.select("url_hash", "url")
+            )
+        ]
+    else:
+        probes = [batch_seen.select("url_hash", "url")]
     if bloom_shards is not None:
         # Advisory pre-prune: candidates the filter says are definitely-new
         # skip the exact anti-join; "maybe seen" rows still go through it, so
@@ -328,11 +346,11 @@ def crawl_round(
         flagged = raw_candidates.join(flags, on=["url_hash", "url"], how="inner")
         definite_new = flagged.filter(~F.col("maybe_seen")).drop("maybe_seen")
         maybe_seen = flagged.filter(F.col("maybe_seen")).drop("maybe_seen")
-        unseen = definite_new.unionByName(anti_join_seen(maybe_seen, seen_keys))
+        unseen = definite_new.unionByName(anti_join_seen_chain(maybe_seen, probes))
         # definite-new rows still must not collide with THIS round's batch
         unseen = anti_join_seen(unseen, batch_seen.select("url_hash", "url"))
     else:
-        unseen = anti_join_seen(raw_candidates, seen_keys)
+        unseen = anti_join_seen_chain(raw_candidates, probes)
 
     candidates = robots_gate(unseen, robots)
     if "candidates" in obs:
@@ -353,7 +371,10 @@ def crawl_round(
     # without this, |batch partitions| x |shards| tiny files accrete and the
     # per-round seen read becomes listing-bound).
     seen_delta = seen_delta.repartition(cfg.n_shards, F.col("shard"))
-    new_frontier = merge_frontier(deferred, candidates)
+    # fww is exact here: candidates carry discovered_iter = round_i + 1,
+    # strictly greater than every deferred row's, and priority is constant —
+    # so the deferred (≫ candidates under a budget) side never re-shuffles.
+    new_frontier = merge_frontier_fww(deferred, candidates)
     if "frontier" in obs:
         new_frontier = new_frontier.observe(obs["frontier"], F.count(F.lit(1)).alias("n"))
 
@@ -392,10 +413,13 @@ def run_crawl(
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     if not cfg.aqe_in_loop:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
+    cached: list[DataFrame] = []  # every probe part the loop persists
     try:
-        return _run_crawl_loop(spark, pages, seeds, cfg, store, robots)
+        return _run_crawl_loop(spark, pages, seeds, cfg, store, robots, cached)
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
+        for df in cached:
+            df.unpersist()
 
 
 def _run_crawl_loop(
@@ -405,10 +429,34 @@ def _run_crawl_loop(
     cfg: CrawlConfig,
     store: CheckpointStore,
     robots: DataFrame | None,
+    cached: list[DataFrame],
 ) -> dict[str, Any]:
     delta_allowed = cfg.frontier_mode == "delta" or (
         cfg.frontier_mode == "auto" and cfg.host_budget is not None
     )
+
+    # LSM-style seen probe list: each round's committed seen delta is cached
+    # pre-partitioned + pre-sorted on the anti-join keys, so the per-round
+    # F1 probe never re-shuffles the accumulated seen set (see
+    # anti_join_seen_chain). List length is bounded by the compaction cadence
+    # (a compaction round collapses it to one entry). MEMORY_AND_DISK by
+    # default; parts are materialized eagerly (one tiny job per round) so
+    # the commit's concurrent writes never race on cache population, and
+    # every part is unpersisted on exit.
+    probe_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    seen_parts: list[DataFrame] = []
+
+    def _as_part(df: DataFrame) -> DataFrame:
+        part = (
+            df.select("url_hash", "url")
+            .repartition(probe_n, "url_hash", "url")
+            .sortWithinPartitions("url_hash", "url")
+            .persist()
+        )
+        cached.append(part)
+        part.count()
+        return part
+
     latest = store.latest_round()
     if latest is not None:
         # Stores with mutable shared tables (Iceberg) first discard rows a
@@ -420,6 +468,7 @@ def _run_crawl_loop(
             rollback()
         frontier = _load_frontier(spark, store, latest)
         seen = store.read_union(spark, "seen", up_to_round=latest)
+        seen_parts = [_as_part(seen)]
         start_round = latest + 1
     else:
         frontier = seed_frontier(spark, seeds)
@@ -513,7 +562,8 @@ def _run_crawl_loop(
             for name in ("raw_candidates", "candidates")
         }
         plan = crawl_round(
-            pages, frontier, seen, robots, round_i, cfg, obs, bloom_shards
+            pages, frontier, seen, robots, round_i, cfg, obs, bloom_shards,
+            seen_parts=seen_parts,
         )
         parsed = plan.parsed.persist()
         batch = plan.batch.persist()
@@ -681,6 +731,16 @@ def _run_crawl_loop(
             else _load_frontier(spark, store, round_i)
         )
         seen = store.read_union(spark, "seen", up_to_round=round_i)
+        # LSM probe-list maintenance: append this round's committed delta;
+        # a compaction round collapses the list to the one full snapshot.
+        if compaction_round:
+            for p in seen_parts:
+                p.unpersist()
+            # identity-filter (DataFrame __eq__ builds a Column, so no `in`)
+            cached[:] = [c for c in cached if all(c is not p for p in seen_parts)]
+            seen_parts = [_as_part(store.read(spark, round_i, "seen"))]
+        else:
+            seen_parts.append(_as_part(store.read(spark, round_i, "seen")))
         if cfg.use_bloom:
             from ..operators.bloom import build_bloom_shards, merge_bloom_shards
 

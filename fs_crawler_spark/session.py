@@ -33,6 +33,13 @@ def get_spark(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        # pinned (both are the defaults, but load-bearing at the saturated
+        # 4N level): worker reuse keeps one long-lived Python proc per slot
+        # instead of fork-per-stage churn, and the bounded Arrow batch caps
+        # the per-slot pandas working set while a JVM thread + Python worker
+        # share each core during extraction stages
+        .config("spark.python.worker.reuse", "true")
+        .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
