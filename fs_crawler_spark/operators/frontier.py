@@ -111,10 +111,17 @@ def anti_join_seen_chain(candidates: DataFrame, seen_parts: list[DataFrame]) -> 
     byte-mover in the loop: O(cumulative fetched) rows per round) disappears;
     measured 2-3x faster per probe at 16 cores. This is the same plan shape
     a bucket(N, url) Iceberg seen table gives via storage-partitioned join —
-    modeled here with Spark's own cache instead of table metadata."""
+    modeled here with Spark's own cache instead of table metadata.
+
+    The MERGE hint pins sort-merge on every link: without it, Catalyst
+    auto-broadcasts any part whose cached size is under the broadcast
+    threshold — re-collecting and re-shipping the part on EVERY round's
+    commit (and racing spark.sql.broadcastTimeout when the machine is
+    loaded), where the pre-partitioned SMJ streams it with zero exchange,
+    zero sort, and no driver involvement."""
     out = candidates
     for part in seen_parts:
-        out = out.join(part, on=JOIN_KEY, how="left_anti")
+        out = out.join(part.hint("merge"), on=JOIN_KEY, how="left_anti")
     return out
 
 

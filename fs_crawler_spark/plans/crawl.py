@@ -98,6 +98,13 @@ class CrawlConfig:
     # shuffles. Measured at 16c/16M: the fetch stage drops 12.4s -> 5.1s.
     # With an UNpartitioned corpus the same hint would shuffle the whole
     # html-carrying corpus into hash maps (measured 66s) — hence opt-in.
+    seen_probe_cache: str = "disk"  # LSM probe-list storage for the seen
+    # anti-join: "disk" (DISK_ONLY — pre-partitioned/sorted parts stream from
+    # local disk through the OS page cache; zero heap pressure, the right
+    # trade when the pages corpus already fills storage memory), "memory"
+    # (MEMORY_AND_DISK — fastest when heap is plentiful), or "off" (flat
+    # union-read probe, the pre-LSM shape). Whatever the level, chained
+    # anti-joins plan with zero exchange/sort on the seen side.
     aqe_in_loop: bool = False  # AQE re-plans every stage of every job — pure
     # driver latency on the iterative path (measured 26% of wall at 16 cores,
     # 8M pages), and redundant here: the loop's skew risk (hot hosts) is
@@ -444,14 +451,22 @@ def _run_crawl_loop(
     # the commit's concurrent writes never race on cache population, and
     # every part is unpersisted on exit.
     probe_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    seen_parts: list[DataFrame] = []
+    probe_cache = cfg.seen_probe_cache != "off"
+    seen_parts: list[DataFrame] | None = [] if probe_cache else None
 
     def _as_part(df: DataFrame) -> DataFrame:
+        from pyspark import StorageLevel
+
+        level = (
+            StorageLevel.MEMORY_AND_DISK
+            if cfg.seen_probe_cache == "memory"
+            else StorageLevel.DISK_ONLY
+        )
         part = (
             df.select("url_hash", "url")
             .repartition(probe_n, "url_hash", "url")
             .sortWithinPartitions("url_hash", "url")
-            .persist()
+            .persist(level)
         )
         cached.append(part)
         part.count()
@@ -468,7 +483,8 @@ def _run_crawl_loop(
             rollback()
         frontier = _load_frontier(spark, store, latest)
         seen = store.read_union(spark, "seen", up_to_round=latest)
-        seen_parts = [_as_part(seen)]
+        if probe_cache:
+            seen_parts = [_as_part(seen)]
         start_round = latest + 1
     else:
         frontier = seed_frontier(spark, seeds)
@@ -733,14 +749,17 @@ def _run_crawl_loop(
         seen = store.read_union(spark, "seen", up_to_round=round_i)
         # LSM probe-list maintenance: append this round's committed delta;
         # a compaction round collapses the list to the one full snapshot.
-        if compaction_round:
-            for p in seen_parts:
-                p.unpersist()
-            # identity-filter (DataFrame __eq__ builds a Column, so no `in`)
-            cached[:] = [c for c in cached if all(c is not p for p in seen_parts)]
-            seen_parts = [_as_part(store.read(spark, round_i, "seen"))]
-        else:
-            seen_parts.append(_as_part(store.read(spark, round_i, "seen")))
+        if probe_cache:
+            if compaction_round:
+                for p in seen_parts:
+                    p.unpersist()
+                # identity-filter (DataFrame __eq__ builds a Column, no `in`)
+                cached[:] = [
+                    c for c in cached if all(c is not p for p in seen_parts)
+                ]
+                seen_parts = [_as_part(store.read(spark, round_i, "seen"))]
+            else:
+                seen_parts.append(_as_part(store.read(spark, round_i, "seen")))
         if cfg.use_bloom:
             from ..operators.bloom import build_bloom_shards, merge_bloom_shards
 
