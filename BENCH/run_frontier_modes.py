@@ -54,9 +54,10 @@ JOB = textwrap.dedent(
     dt = time.monotonic() - t0
 
     def checksum(df):
-        row = df.agg(F.sum(F.xxhash64(*df.columns)).alias("h"),
+        # decimal sum: long would overflow under ANSI with millions of hashes
+        row = df.agg(F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
                      F.count(F.lit(1)).alias("n")).collect()[0]
-        return [int(row["h"] or 0), int(row["n"])]
+        return [str(row["h"] or 0), int(row["n"])]
 
     sums = {t: checksum(read_output(spark, d, t))
             for t in ("vertices", "edges", "seen")}
