@@ -33,6 +33,20 @@ def main() -> None:
     p.add_argument("--use-bloom", action="store_true")
     p.add_argument("--robots", default=None, help="parquet path: (host, disallow_prefix)")
     p.add_argument("--resolve", action="store_true", help="run lazy A4 resolution after the crawl")
+    p.add_argument(
+        "--frontier-mode", choices=["auto", "rewrite", "delta"], default="auto",
+        help="per-round frontier commit: full rewrite vs disjoint new-url delta",
+    )
+    p.add_argument(
+        "--seen-probe-cache", choices=["disk", "memory", "off"], default="disk",
+        help="LSM probe-list storage for the seen anti-join (see CrawlConfig)",
+    )
+    p.add_argument(
+        "--pages-url-partitioned", action="store_true",
+        help="declare the pages table bucketed/hash-partitioned by url "
+        "(Iceberg bucket(N, url) or a url-repartitioned cache): the fetch "
+        "join then streams the corpus and shuffles only the batch",
+    )
     args = p.parse_args()
 
     builder = SparkSession.builder.appName("fs-crawler-spark")
@@ -55,6 +69,9 @@ def main() -> None:
         mode=args.mode,
         n_shards=args.n_shards,
         use_bloom=args.use_bloom,
+        frontier_mode=args.frontier_mode,
+        seen_probe_cache=args.seen_probe_cache,
+        pages_url_partitioned=args.pages_url_partitioned,
     )
     res = run_crawl(spark, pages, args.seeds, args.checkpoint, cfg, robots=robots)
 
