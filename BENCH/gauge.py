@@ -14,8 +14,11 @@ comparable across sessions — collect medians and A/B within the same day.
 Usage: python BENCH/gauge.py
 """
 
+import os
 import sys
 import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 from pyspark.sql import functions as F
 
