@@ -9,7 +9,7 @@ crawl (corpus, seeds, tight per-host budget, rounds) in both modes in
 sequential JVMs. Each job reports per-round wall seconds (the crawl_log
 totals' duration column), the per-round frontier gauge, and order-insensitive
 xxhash64 checksums of every committed table; the parent asserts the
-checksums match byte-for-byte and appends the comparison to
+checksums match exactly and appends the comparison to
 BENCH/BASELINE.md.
 
 Usage: python BENCH/run_frontier_modes.py [cores=16]
@@ -54,10 +54,30 @@ JOB = textwrap.dedent(
     dt = time.monotonic() - t0
 
     def checksum(df):
-        # decimal sum: long would overflow under ANSI with millions of hashes
-        row = df.agg(F.sum(F.xxhash64(*df.columns).cast("decimal(38,0)")).alias("h"),
-                     F.count(F.lit(1)).alias("n")).collect()[0]
-        return [str(row["h"] or 0), int(row["n"])]
+        # order-insensitive digest over per-row xxhash64. A plain SUM admits
+        # cancellation collisions (two compensating row differences keep the
+        # sum equal), so the digest carries five independent facets: sum,
+        # count, min/max of the row hashes, and a re-hashed per-bucket count
+        # distribution (bucket = h mod 64; any row swap that preserves the
+        # sum still moves a bucket count with probability ~63/64 per row).
+        # (decimal sums: long would overflow under ANSI with millions of
+        # hashes)
+        h = F.xxhash64(*df.columns)
+        row = df.agg(
+            F.sum(h.cast("decimal(38,0)")).alias("h"),
+            F.count(F.lit(1)).alias("n"),
+            F.min(h).alias("lo"),
+            F.max(h).alias("hi"),
+        ).collect()[0]
+        dist = (
+            df.groupBy(F.pmod(h, F.lit(64)).alias("_b"))
+            .agg(F.count(F.lit(1)).alias("_n"))
+            .agg(F.sum(F.xxhash64("_b", "_n").cast("decimal(38,0)")).alias("d"))
+            .collect()[0]
+        )
+        return [str(row["h"] or 0), int(row["n"]),
+                int(row["lo"] or 0), int(row["hi"] or 0),
+                str(dist["d"] or 0)]
 
     sums = {t: checksum(read_output(spark, d, t))
             for t in ("vertices", "edges", "seen")}
@@ -108,8 +128,9 @@ def main() -> None:
         block += f"| {it} | {batch_n} -> {frontier} | {sec} | {d[1] if d else '-'} |\n"
     block += (
         f"\ntotal: rewrite {rw['sec']}s vs delta {dl['sec']}s "
-        f"({rw['fetched']} urls fetched in both; outputs byte-identical by "
-        f"order-insensitive xxhash64 over every committed table + the "
+        f"({rw['fetched']} urls fetched in both; outputs checksum-identical "
+        f"by a five-facet order-insensitive xxhash64 digest — sum/count/min/"
+        f"max/bucket-distribution — over every committed table + the "
         f"reconstructed frontier)\n"
     )
     with open(os.path.join(REPO, "BENCH", "BASELINE.md"), "a") as f:

@@ -475,7 +475,9 @@ def simhash_dup_groups(
 # ---------------------------------------------------------------------------
 # Near-dup clustering: connected components over a pair list
 # ---------------------------------------------------------------------------
-def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25, checkpoint_dir: str | None = None
+) -> DataFrame:
     """(id_a, id_b) undirected near-dup pairs -> (id, component) where
     component = the min id reachable (the canonical "keeper" of each dup
     cluster — the standard final step of a dedup pipeline: drop every row
@@ -485,24 +487,40 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
     every node takes the min label among itself and its neighbors — one
     keyed shuffle per round, converging in O(cluster diameter) rounds
     (near-dup clusters are shallow; chains longer than ``max_iter`` raise).
-    Per-round state is ``localCheckpoint``ed (eager): caching alone keeps
+    Per-round state is checkpointed (eager): caching alone keeps
     the full logical plan, and each round's plan references the previous
     round's TWICE (neighbor-min join + the new-label join), so lineage
     doubles per round and a >15-round propagation OOMs the DRIVER on plan
     bookkeeping alone. Checkpointing truncates lineage to the materialized
-    partitions — plans stay O(1) per round, memory O(|nodes|). (A
-    fault-tolerant cluster run would point this at ``checkpoint()`` with a
-    reliable dir; the operator's shuffle shape is identical.) The
-    convergence check is a limit(1) count — control plane only, no data
-    collect.
+    partitions — plans stay O(1) per round, memory O(|nodes|).
+
+    ``checkpoint_dir=None`` (default) uses ``localCheckpoint`` — executor-
+    local blocks, fastest, but NOT fault-tolerant: losing an executor loses
+    its blocks and fails the job. A cluster run should pass a reliable
+    ``checkpoint_dir`` (HDFS/S3); per-round state then goes through
+    ``DataFrame.checkpoint`` and survives executor loss. Both modes plan
+    identically. The convergence check is a limit(1) count — control plane
+    only, no data collect.
     """
+    if checkpoint_dir is not None:
+        sc = pairs.sparkSession.sparkContext
+        sc.setCheckpointDir(checkpoint_dir)
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.checkpoint(eager=True)
+
+    else:
+
+        def _ckpt(df: DataFrame) -> DataFrame:
+            return df.localCheckpoint(eager=True)
+
     edges = pairs.select(F.col("id_a").alias("u"), F.col("id_b").alias("v"))
-    edges = edges.unionByName(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).localCheckpoint()
-    labels = (
+    edges = _ckpt(
+        edges.unionByName(edges.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    )
+    labels = _ckpt(
         edges.select(F.col("u").alias("id")).distinct().withColumn("comp", F.col("id"))
-    ).localCheckpoint()
+    )
     for _ in range(max_iter):
         nbr_min = (
             edges.join(
@@ -512,15 +530,13 @@ def connected_components(pairs: DataFrame, max_iter: int = 25) -> DataFrame:
             .agg(F.min("comp").alias("nbr_comp"))
             .select(F.col("u").alias("id"), "nbr_comp")
         )
-        new_labels = (
-            labels.join(nbr_min, on="id", how="left")
-            .select(
+        new_labels = _ckpt(
+            labels.join(nbr_min, on="id", how="left").select(
                 "id",
                 F.least(
                     F.col("comp"), F.coalesce("nbr_comp", F.col("comp"))
                 ).alias("comp"),
             )
-            .localCheckpoint()
         )
         changed = (
             new_labels.join(

@@ -39,6 +39,7 @@ def select_batch(
     frontier: DataFrame,
     host_budget: int | None,
     salt_n: int = 16,
+    host_stats: tuple[int, int] | None = None,
 ) -> BatchSelection:
     """Pick this round's fetch batch under the per-host budget.
 
@@ -67,22 +68,35 @@ def select_batch(
         BROADCAST semi-join (no frontier shuffle) and only they are ranked.
 
     Selection semantics are identical in all three shapes (rank <= budget
-    is trivially true for every bypassed row). The eager aggregate costs one
-    small job per round — the frontier is a committed-parquet read, and its
-    map-side-combined host counts are tiny next to the two full broadcast-
-    join passes the blind split always paid.
+    is trivially true for every bypassed row).
+
+    ``host_stats=(n_hosts, n_over)`` supplies the two ints from outside and
+    skips the eager aggregate entirely — the crawl loop computes them as two
+    extra legs of its per-round committed-counts job (one job instead of
+    two, and never against an unpersisted multi-round delta-frontier
+    reconstruction). Standalone callers omit it and pay the one small
+    aggregate; the frontier they pass is either a committed-parquet read or
+    a caller-persisted DataFrame, so the job is a map-side-combined count —
+    tiny next to the two full broadcast-join passes the blind split always
+    paid. The stats ints affect only the plan SHAPE, never the selected
+    rows, but an UNDERcounted ``n_over`` would wrongly pick the bypass
+    shape (which assumes no host is over budget) — so they must be exact,
+    not sampled (and never taken from racy ``observe`` metrics).
     """
     if host_budget is None:
         return BatchSelection(frontier, frontier.limit(0), None)
 
     counts = frontier.groupBy("host").agg(F.count(F.lit(1)).alias("_n"))
-    stats = counts.agg(
-        F.count(F.lit(1)).alias("hosts"),
-        F.coalesce(
-            F.sum((F.col("_n") > host_budget).cast("int")), F.lit(0)
-        ).alias("over"),
-    ).collect()[0]
-    n_hosts, n_over = int(stats["hosts"]), int(stats["over"])
+    if host_stats is None:
+        stats = counts.agg(
+            F.count(F.lit(1)).alias("hosts"),
+            F.coalesce(
+                F.sum((F.col("_n") > host_budget).cast("int")), F.lit(0)
+            ).alias("over"),
+        ).collect()[0]
+        n_hosts, n_over = int(stats["hosts"]), int(stats["over"])
+    else:
+        n_hosts, n_over = int(host_stats[0]), int(host_stats[1])
     if n_over == 0:
         return BatchSelection(frontier, frontier.limit(0), None)
 

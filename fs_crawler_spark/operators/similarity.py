@@ -43,12 +43,29 @@ def brute_force_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     query_id_col: str = "query_id",
+    max_query_rows: int | None = 10_000,
 ) -> DataFrame:
     """Exact top-k neighbors per query by cosine; excludes self-matches.
 
     Returns (query_id, vec_id, cos [rounded 6dp], rank). The cross join is
-    broadcast on the (small) query side; corpus stays partitioned.
+    broadcast on the (small) query side; corpus stays partitioned. This is
+    the small-query-set kernel: the ENTIRE query side is collected to the
+    driver and shipped to every executor, so a large query set would OOM the
+    driver long before the O(|corpus| x |queries|) scoring finishes. The
+    ``max_query_rows`` guard (one count job on the small side) refuses such
+    misuse with a clear error instead; pass ``None`` to disable, or use
+    ``ann_lsh_topk`` / ``ann_ivf_topk`` — the bucketed scale paths — for
+    large query sets.
     """
+    if max_query_rows is not None:
+        n_q = queries.count()
+        if n_q > max_query_rows:
+            raise ValueError(
+                f"brute_force_topk broadcasts the query side: got {n_q} query "
+                f"rows > max_query_rows={max_query_rows}. Use ann_lsh_topk/"
+                "ann_ivf_topk for large query sets, or raise max_query_rows "
+                "explicitly (None disables the guard)."
+            )
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )

@@ -32,6 +32,7 @@ Scale notes (10^10-URL frontier, 1000 executors):
 
 from __future__ import annotations
 
+import logging
 import time
 from dataclasses import dataclass, field
 from typing import Any, NamedTuple
@@ -53,6 +54,9 @@ from ..operators.politeness import select_batch
 from ..operators.robots import robots_gate
 from ..schemas import CRAWL_LOG, UNTYPED_PARENT
 from ..sources.checkpoint import CheckpointStore
+from ..sources.fetcher import CorpusJoinFetcher, Fetcher
+
+logger = logging.getLogger(__name__)
 
 
 @dataclass
@@ -126,11 +130,26 @@ class RoundPlan(NamedTuple):
     spool: DataFrame | None  # politeness rank-1 subplan (persist per round)
 
 
-def _committed_counts(spark: SparkSession, store, round_i: int) -> dict[str, int]:
+def _committed_counts(
+    spark: SparkSession,
+    store,
+    round_i: int,
+    frontier_next: DataFrame | None = None,
+    host_budget: int | None = None,
+) -> dict[str, int]:
     """Exact per-round counts from the committed snapshot in ONE job: a
     union of per-table count aggregates (parquet footer metadata — no data
     pages are read). Authoritative where observations can race (see caller).
-    ``batch`` = sum of the committed per-partition lineage rows."""
+    ``batch`` = sum of the committed per-partition lineage rows.
+
+    ``frontier_next``/``host_budget`` (the loop's budgeted path) add one more
+    leg: next round's politeness host stats — (#hosts, #hosts over budget) of
+    the next frontier, exploded into two (t, n) rows off a single scan. This
+    folds select_batch's eager shape-picking aggregate into the SAME job
+    (one job per round instead of two), and — in delta frontier mode, where
+    ``frontier_next`` is the freshly persisted multi-round reconstruction —
+    materializes that cache as a side effect, so no later consumer ever
+    re-executes the reconstruction."""
     legs = []
     for name in ("vertices", "edges", "frontier"):
         legs.append(
@@ -147,6 +166,30 @@ def _committed_counts(spark: SparkSession, store, round_i: int) -> dict[str, int
         .agg(F.coalesce(F.sum("urls_in"), F.lit(0)).alias("n"))
         .select(F.lit("batch").alias("t"), F.col("n"))
     )
+    if frontier_next is not None and host_budget is not None:
+        host_counts = frontier_next.groupBy("host").agg(
+            F.count(F.lit(1)).alias("_n")
+        )
+        legs.append(
+            host_counts.groupBy()
+            .agg(
+                F.count(F.lit(1)).alias("hosts"),
+                F.coalesce(
+                    F.sum((F.col("_n") > host_budget).cast("long")),
+                    F.lit(0).cast("long"),
+                ).alias("over"),
+            )
+            .select(
+                F.explode(
+                    F.create_map(
+                        F.lit("hosts"),
+                        F.col("hosts"),
+                        F.lit("over"),
+                        F.col("over"),
+                    )
+                ).alias("t", "n")
+            )
+        )
     u = legs[0]
     for df in legs[1:]:
         u = u.unionByName(df)
@@ -218,27 +261,49 @@ def crawl_round(
     observations: dict[str, Observation] | None = None,
     bloom_shards: DataFrame | None = None,
     seen_parts: list[DataFrame] | None = None,
+    fetcher: Fetcher | None = None,
+    host_stats: tuple[int, int] | None = None,
 ) -> RoundPlan:
     """One BFS round as a pure function of snapshot state. Lazy except for
     ``select_batch``'s one scalar host-stats job (two ints at plan time,
-    picking the politeness shape — see operators/politeness.py).
+    picking the politeness shape — skipped entirely when the caller passes
+    ``host_stats``; the loop piggybacks them on its committed-counts job).
+
+    ``fetcher`` overrides the fetch seam (default: inner-join against
+    ``pages`` — see sources/fetcher.py). A url the fetcher neither returns
+    nor retries is the 404-analog (session.py:137-146 warn-and-continue): it
+    still enters the seen-set so it is never retried, but produces no
+    vertex. Urls the fetcher reports via ``retry_urls`` (transient failures)
+    do NOT enter the seen-set and stay in the frontier for a later round.
 
     ``observations`` (optional) attaches Observation counters to the fetched /
     edges / candidates / frontier nodes; they fill during whatever action
     first executes each node (the snapshot writes) — the free metrics path.
     """
     obs = observations or {}
-    batch, deferred, spool = select_batch(frontier, cfg.host_budget, cfg.salt_n)
+    batch, deferred, spool = select_batch(
+        frontier, cfg.host_budget, cfg.salt_n, host_stats=host_stats
+    )
     if "batch" in obs:
         batch = batch.observe(obs["batch"], F.count(F.lit(1)).alias("n"))
 
-    # "Fetch": join against the corpus. A url missing from pages is the
-    # 404-analog (session.py:137-146 warn-and-continue): it still enters the
-    # seen-set so it is never retried, but produces no vertex.
-    batch_urls = batch.select("url")
-    if cfg.pages_url_partitioned:
-        batch_urls = batch_urls.hint("shuffle_hash")
-    fetched = pages.join(batch_urls, on="url", how="inner")
+    # "Fetch" through the pluggable seam (S3).
+    if fetcher is None:
+        fetcher = CorpusJoinFetcher(pages, cfg.pages_url_partitioned)
+    fetched = fetcher.fetch(batch)
+    retry = fetcher.retry_urls(batch)
+    if retry is not None:
+        # transient failures re-queue: out of the seen-set, back into the
+        # frontier. fww-merge exactness holds — retry rows keep their
+        # original discovered_iter (<= round_i), still strictly below any
+        # fresh candidate's round_i + 1.
+        retry = retry.select(*frontier.columns)
+        batch_done = batch.join(
+            retry.select("url_hash", "url"), on=["url_hash", "url"], how="left_anti"
+        ).select(*batch.columns)
+        deferred = deferred.unionByName(retry)
+    else:
+        batch_done = batch
 
     if cfg.mode == "persons":
         parsed = extract_persons(fetched)
@@ -317,7 +382,7 @@ def crawl_round(
             url_shard(F.col("url_hash"), cfg.n_shards).alias("shard"),
         )
 
-    batch_seen = _to_seen(batch)
+    batch_seen = _to_seen(batch_done)
 
     raw_candidates = frontier_from_links(
         out_links.select(F.col("raw_url").alias("url")), round_i + 1
@@ -407,26 +472,53 @@ def run_crawl(
     cfg: CrawlConfig | None = None,
     robots: DataFrame | None = None,
     store: Any | None = None,
+    fetcher: Fetcher | None = None,
 ) -> dict[str, Any]:
     """Resumable driver loop: one snapshot commit per round until the frontier
     is exhausted or ``cfg.max_rounds`` is hit. Returns run totals.
 
     ``store`` overrides the snapshot backend (default: parquet
     ``CheckpointStore``; pass an ``IcebergCheckpointStore`` when an Iceberg
-    catalog is configured — same commit/read surface)."""
+    catalog is configured — same commit/read surface).
+
+    ``fetcher`` overrides the fetch seam (default: corpus join — see
+    sources/fetcher.py). A ``may_retry`` fetcher forces full frontier
+    snapshots: delta-frontier round accounting assumes every batch url
+    leaves the frontier, which retried urls violate."""
     cfg = cfg or CrawlConfig()
     store = store or CheckpointStore(checkpoint_dir)
+    fetcher = fetcher or CorpusJoinFetcher(pages, cfg.pages_url_partitioned)
 
     aqe_before = spark.conf.get("spark.sql.adaptive.enabled", "true")
     if not cfg.aqe_in_loop:
         spark.conf.set("spark.sql.adaptive.enabled", "false")
     cached: list[DataFrame] = []  # every probe part the loop persists
     try:
-        return _run_crawl_loop(spark, pages, seeds, cfg, store, robots, cached)
+        return _run_crawl_loop(
+            spark, pages, seeds, cfg, store, robots, cached, fetcher
+        )
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         for df in cached:
             df.unpersist()
+
+
+def _lsm_length_warning(n_parts: int, compact_every: int | None) -> str | None:
+    """Guard message when the LSM seen probe list outgrows the compaction
+    cadence (> 2x ``compact_every``, or a fixed 32 when compaction is off):
+    each chained anti-join is one sorted pass over the candidate set per
+    part, so a silently mis-set ``compact_every`` turns the per-round probe
+    into O(parts) candidate passes with no other symptom than slowness."""
+    bound = 2 * compact_every if compact_every else 32
+    if n_parts > bound:
+        return (
+            f"LSM seen probe list has {n_parts} cached parts (bound {bound}, "
+            f"compact_every={compact_every}): every round now makes "
+            f"{n_parts} sorted anti-join passes over the candidate set. "
+            "Lower compact_every (or check that compaction rounds actually "
+            "commit) to collapse the list."
+        )
+    return None
 
 
 def _run_crawl_loop(
@@ -437,40 +529,68 @@ def _run_crawl_loop(
     store: CheckpointStore,
     robots: DataFrame | None,
     cached: list[DataFrame],
+    fetcher: Fetcher,
 ) -> dict[str, Any]:
-    delta_allowed = cfg.frontier_mode == "delta" or (
-        cfg.frontier_mode == "auto" and cfg.host_budget is not None
+    delta_allowed = not fetcher.may_retry and (
+        cfg.frontier_mode == "delta"
+        or (cfg.frontier_mode == "auto" and cfg.host_budget is not None)
     )
+
+    from pyspark import StorageLevel
 
     # LSM-style seen probe list: each round's committed seen delta is cached
     # pre-partitioned + pre-sorted on the anti-join keys, so the per-round
     # F1 probe never re-shuffles the accumulated seen set (see
     # anti_join_seen_chain). List length is bounded by the compaction cadence
-    # (a compaction round collapses it to one entry). MEMORY_AND_DISK by
-    # default; parts are materialized eagerly (one tiny job per round) so
-    # the commit's concurrent writes never race on cache population, and
-    # every part is unpersisted on exit.
+    # (a compaction round collapses it to one entry). DISK_ONLY by default
+    # (seen_probe_cache='disk' — BASELINE.md records the cache-eviction
+    # storms that rejected the memory level); parts are materialized eagerly
+    # (one tiny job per round) so the commit's concurrent writes never race
+    # on cache population, and every part is unpersisted on exit.
     probe_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
     probe_cache = cfg.seen_probe_cache != "off"
     seen_parts: list[DataFrame] | None = [] if probe_cache else None
+    cache_level = (
+        StorageLevel.MEMORY_AND_DISK
+        if cfg.seen_probe_cache == "memory"
+        else StorageLevel.DISK_ONLY
+    )
+    probe_n_warned = False
 
     def _as_part(df: DataFrame) -> DataFrame:
-        from pyspark import StorageLevel
-
-        level = (
-            StorageLevel.MEMORY_AND_DISK
-            if cfg.seen_probe_cache == "memory"
-            else StorageLevel.DISK_ONLY
-        )
         part = (
             df.select("url_hash", "url")
             .repartition(probe_n, "url_hash", "url")
             .sortWithinPartitions("url_hash", "url")
-            .persist(level)
+            .persist(cache_level)
         )
         cached.append(part)
         part.count()
         return part
+
+    # Delta-mode frontier pin: the reconstructed frontier (base ∪ adds
+    # anti-join seen-deltas — a multi-round plan) is consumed several times
+    # per round (politeness selection, the fetch join's build side, the
+    # delta disjointness anti-join, the host-stats leg). Persist it once per
+    # round so no consumer re-executes the reconstruction; the committed-
+    # counts job materializes it BEFORE the commit's concurrent writes race
+    # on it. Full-frontier rounds read committed parquet directly — no pin.
+    frontier_pin: DataFrame | None = None
+
+    def _pin(df: DataFrame) -> DataFrame:
+        nonlocal frontier_pin
+        pinned = df.persist(cache_level)
+        cached.append(pinned)
+        frontier_pin = pinned
+        return pinned
+
+    def _unpin() -> None:
+        nonlocal frontier_pin
+        if frontier_pin is not None:
+            frontier_pin.unpersist()
+            pin = frontier_pin
+            cached[:] = [c for c in cached if c is not pin]
+            frontier_pin = None
 
     latest = store.latest_round()
     if latest is not None:
@@ -482,6 +602,8 @@ def _run_crawl_loop(
         if rollback is not None:
             rollback()
         frontier = _load_frontier(spark, store, latest)
+        if not store.manifest(latest).get("meta", {}).get("frontier_full", True):
+            frontier = _pin(frontier)
         seen = store.read_union(spark, "seen", up_to_round=latest)
         if probe_cache:
             seen_parts = [_as_part(seen)]
@@ -564,12 +686,28 @@ def _run_crawl_loop(
                     int(store.manifest(latest).get("snapshot_id", 0)),
                 )
             )
+    host_stats: tuple[int, int] | None = None  # piggybacked on counts job
     for round_i in range(start_round, cfg.max_rounds):
         t0 = time.monotonic()
         if urls_in is None:
             urls_in = frontier.count()
         if urls_in == 0:
             break
+        if probe_cache and not probe_n_warned:
+            cur_n = int(spark.conf.get("spark.sql.shuffle.partitions"))
+            if cur_n != probe_n:
+                # results stay correct, but every cached probe part was laid
+                # out for probe_n partitions — the zero-exchange SMJ chain
+                # silently regains an exchange per link. Surface it.
+                logger.warning(
+                    "spark.sql.shuffle.partitions changed mid-crawl "
+                    "(%d -> %d): LSM seen-probe parts keep their original "
+                    "partitioning, so the chained anti-joins will re-add "
+                    "exchanges until the next compaction round.",
+                    probe_n,
+                    cur_n,
+                )
+                probe_n_warned = True
 
         # only the cosmetic dedup metric rides on observations now; all
         # load-bearing counts come from the committed snapshot (see below)
@@ -579,7 +717,7 @@ def _run_crawl_loop(
         }
         plan = crawl_round(
             pages, frontier, seen, robots, round_i, cfg, obs, bloom_shards,
-            seen_parts=seen_parts,
+            seen_parts=seen_parts, fetcher=fetcher, host_stats=host_stats,
         )
         parsed = plan.parsed.persist()
         batch = plan.batch.persist()
@@ -689,16 +827,41 @@ def _run_crawl_loop(
             partition_by={"seen": ["shard"]},
             snapshot_id=snapshot_id,
         )
+        # Next round's frontier (lineage truncation + exact resume
+        # equivalence: read back from the committed snapshot, not in-memory
+        # lineage), loaded BEFORE the counts job. Delta mode pins the
+        # multi-round reconstruction so the counts job materializes the
+        # cache and no later consumer re-executes it.
+        _unpin()
+        frontier_next = (
+            store.read(spark, round_i, "frontier")
+            if frontier_full
+            else _pin(_load_frontier(spark, store, round_i))
+        )
+
         # Loop-control and logged counts come from the COMMITTED parquet —
-        # one metadata-only job for all four (parquet count() reads footers).
-        # Observations are NOT authoritative here: with 5 concurrent commit
-        # jobs racing to populate the shared caches, the first-completing
-        # job's CollectMetrics row only covers the partitions ITS tasks
-        # computed (cache hits contribute nothing), so observed counts can
+        # one job for all of them (table count() legs read parquet footers
+        # only; the budgeted path folds in next round's politeness host
+        # stats off one scan of frontier_next). Observations are NOT
+        # authoritative here: with 5 concurrent commit jobs racing to
+        # populate the shared caches, the first-completing job's
+        # CollectMetrics row only covers the partitions ITS tasks computed
+        # (cache hits contribute nothing), so observed counts can
         # undercount nondeterministically — seen in the wild as a run
         # reporting 99,412 of 100,000 fetches and, worse, an early loop exit
         # if the frontier count raced to 0.
-        stats = _committed_counts(spark, store, round_i)
+        stats = _committed_counts(
+            spark,
+            store,
+            round_i,
+            frontier_next=frontier_next if cfg.host_budget is not None else None,
+            host_budget=cfg.host_budget,
+        )
+        host_stats = (
+            (stats["hosts"], stats["over"])
+            if cfg.host_budget is not None
+            else None
+        )
         batch_n = stats["batch"]
         urls_fetched = stats["vertices"]
         n_edges = stats["edges"]
@@ -739,13 +902,7 @@ def _run_crawl_loop(
         if spool is not None:
             spool.unpersist()
 
-        # Lineage truncation + exact resume equivalence: next round reads the
-        # committed snapshot, not in-memory lineage.
-        frontier = (
-            store.read(spark, round_i, "frontier")
-            if frontier_full
-            else _load_frontier(spark, store, round_i)
-        )
+        frontier = frontier_next
         seen = store.read_union(spark, "seen", up_to_round=round_i)
         # LSM probe-list maintenance: append this round's committed delta;
         # a compaction round collapses the list to the one full snapshot.
@@ -760,6 +917,9 @@ def _run_crawl_loop(
                 seen_parts = [_as_part(store.read(spark, round_i, "seen"))]
             else:
                 seen_parts.append(_as_part(store.read(spark, round_i, "seen")))
+            lsm_msg = _lsm_length_warning(len(seen_parts), cfg.compact_every)
+            if lsm_msg:
+                logger.warning(lsm_msg)
         if cfg.use_bloom:
             from ..operators.bloom import build_bloom_shards, merge_bloom_shards
 

@@ -28,6 +28,7 @@ import time
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql.types import StructType
 
 APPEND_TABLES = ("seen", "vertices", "edges", "crawl_log")
 MANIFEST = "MANIFEST.json"
@@ -86,6 +87,12 @@ class CheckpointStore:
             # tables written as a FULL rewrite this round (Iceberg rewrite/
             # compaction analog): read_union starts here instead of round 0.
             "compacted": sorted(compacted or []),
+            # per-table schema, like an Iceberg table's metadata: reads never
+            # depend on parquet schema inference, so an EMPTY delta (e.g. a
+            # round whose whole batch was retried writes zero seen rows — a
+            # partitioned write of an empty DataFrame leaves no schema-
+            # bearing file at all) still reads back as a typed empty table.
+            "schemas": {name: df.schema.jsonValue() for name, df in tables.items()},
             "meta": meta or {},
         }
         final = self._round_dir(round_i)
@@ -132,7 +139,15 @@ class CheckpointStore:
             return json.load(f)
 
     def read(self, spark: SparkSession, round_i: int, name: str) -> DataFrame:
-        return spark.read.parquet(os.path.join(self._round_dir(round_i), name))
+        """Read one table of one committed round, with the schema the commit
+        recorded (legacy manifests without one fall back to inference).
+        Partition columns (e.g. seen's ``shard``) are matched by name against
+        the provided schema, so partitioned and empty tables read alike."""
+        path = os.path.join(self._round_dir(round_i), name)
+        sch = self.manifest(round_i).get("schemas", {}).get(name)
+        if sch:
+            return spark.read.schema(StructType.fromJson(sch)).parquet(path)
+        return spark.read.parquet(path)
 
     def read_union(
         self, spark: SparkSession, name: str, up_to_round: int | None = None
@@ -159,8 +174,13 @@ class CheckpointStore:
         if not paths:
             return None
         # Read per-round and union (multi-path reads fight partition-dir
-        # discovery when a table is itself partitioned, e.g. seen/shard=N).
-        dfs = [spark.read.parquet(p) for p in paths]
+        # discovery when a table is itself partitioned, e.g. seen/shard=N);
+        # per-round reads use each round's manifest-recorded schema.
+        dfs = [
+            self.read(spark, r, name)
+            for r in rounds
+            if r >= start and os.path.exists(os.path.join(self._round_dir(r), name))
+        ]
         out = dfs[0]
         for df in dfs[1:]:
             out = out.unionByName(df)

@@ -21,6 +21,7 @@ from __future__ import annotations
 import argparse
 import json
 
+from pyspark.errors import AnalysisException
 from pyspark.sql import SparkSession
 
 
@@ -46,11 +47,13 @@ def load_graph(spark: SparkSession, args):
     edges = read_edges_csv(spark, f"{base}.edges.csv")
     # the validator also sees spanning edges (graph_validator.py:84-92 loads
     # the whole graph); frontier-class edges have no fetched endpoint and
-    # contribute nothing to child validation, matching the reference loader
+    # contribute nothing to child validation, matching the reference loader.
+    # The spanning file is optional output — only a missing path is ignored.
     try:
         edges = edges.unionByName(read_edges_csv(spark, f"{base}.spanning.edges.csv"))
-    except Exception:
-        pass
+    except AnalysisException as e:
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
     frontier = read_frontier_vertices_csv(spark, f"{base}.frontier.vertices.csv")
     return vertices, edges, frontier
 

@@ -113,3 +113,36 @@ def test_select_batch_empty_frontier(spark):
     sel = select_batch(frontier, host_budget=2)
     assert sel.batch.count() == 0
     assert sel.deferred.count() == 0
+
+
+def test_select_batch_host_stats_hint_matches_computed(spark):
+    """Passing precomputed (n_hosts, n_over) must reproduce the computed-
+    stats selection exactly in every shape (the crawl loop piggybacks these
+    two ints on its committed-counts job)."""
+    budget = 3
+    shapes = {
+        "bypass": ({"a.com": 2, "b.com": 3}, (2, 0)),
+        "all_over": ({"a.com": 5, "b.com": 9}, (2, 2)),
+        "mixed": ({"a.com": 2, "b.com": 9, "c.com": 4}, (3, 2)),
+    }
+    for name, (spec, stats) in shapes.items():
+        frontier = _frontier(spark, spec)
+        computed = select_batch(frontier, host_budget=budget, salt_n=4)
+        hinted = select_batch(
+            frontier, host_budget=budget, salt_n=4, host_stats=stats
+        )
+        assert _rows(hinted.batch) == _rows(computed.batch), name
+        assert _rows(hinted.deferred) == _rows(computed.deferred), name
+        assert (hinted.spool is None) == (computed.spool is None), name
+
+
+def test_lsm_length_warning_bounds():
+    from fs_crawler_spark.plans.crawl import _lsm_length_warning
+
+    # within bound: silent
+    assert _lsm_length_warning(16, compact_every=8) is None
+    assert _lsm_length_warning(32, compact_every=None) is None
+    # past bound: warns with the part count and cadence
+    msg = _lsm_length_warning(17, compact_every=8)
+    assert msg and "17" in msg and "compact_every=8" in msg
+    assert _lsm_length_warning(33, compact_every=None)

@@ -81,3 +81,16 @@ def test_multimodal_feature_plumbing(spark, sf_dir):
     frames = frame_sample_plan(media, every_ms=1000)
     one = frames.groupBy("media_id").count().collect()
     assert all(r["count"] >= 1 for r in one)
+
+
+def test_brute_force_topk_refuses_large_query_side(spark, emb):
+    """The brute kernel broadcasts the query side; a query set past the
+    guard must fail fast with a clear error instead of OOMing the driver."""
+    import pytest
+
+    queries = emb.select(F.col("vec_id").alias("query_id"), "embedding")
+    with pytest.raises(ValueError, match="max_query_rows"):
+        brute_force_topk(emb, queries, k=3, max_query_rows=5)
+    # raising the bound (or disabling) restores the old behavior
+    assert brute_force_topk(emb, queries.limit(6), k=2,
+                            max_query_rows=None).count() > 0

@@ -212,3 +212,23 @@ def test_minhash_verify_kernel_parity(spark, sf_dir):
     a = set(map(tuple, minhash_lsh_pairs(docs, threshold=0.2, verify="column").collect()))
     b = set(map(tuple, minhash_lsh_pairs(docs, threshold=0.2, verify="arrow").collect()))
     assert a == b and len(a) > 0
+
+
+def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
+    """checkpoint_dir switches per-round state from localCheckpoint to a
+    reliable checkpoint (fault-tolerant cluster mode); labels identical."""
+    from fs_crawler_spark.operators.dedup import connected_components
+
+    pairs = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("x", "y"), ("p", "p2"), ("p2", "p3")],
+        "id_a string, id_b string",
+    )
+    local = {r["id"]: r["comp"] for r in connected_components(pairs).collect()}
+    reliable = {
+        r["id"]: r["comp"]
+        for r in connected_components(
+            pairs, checkpoint_dir=str(tmp_path / "ckpt")
+        ).collect()
+    }
+    assert reliable == local
+    assert reliable["c"] == "a" and reliable["y"] == "x" and reliable["p3"] == "p"
