@@ -32,6 +32,11 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.types import StructType
 
+try:  # Spark 4 moved partition transforms; F.bucket is deprecated there
+    from pyspark.sql.functions.partitioning import bucket as _bucket
+except ImportError:  # pragma: no cover — Spark 3.x
+    _bucket = F.bucket
+
 
 class SparkIcebergBackend:
     """Catalog operations via Spark SQL / DataFrameWriterV2 (requires the
@@ -63,7 +68,7 @@ class SparkIcebergBackend:
     ) -> None:
         writer = df.writeTo(tbl)
         if bucket is not None:
-            writer = writer.partitionedBy(F.bucket(bucket[0], F.col(bucket[1])))
+            writer = writer.partitionedBy(_bucket(bucket[0], F.col(bucket[1])))
         if mode == "append":
             writer.append()
         elif mode == "create":
