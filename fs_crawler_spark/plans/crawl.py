@@ -102,6 +102,15 @@ class CrawlConfig:
     # shuffles. Measured at 16c/16M: the fetch stage drops 12.4s -> 5.1s.
     # With an UNpartitioned corpus the same hint would shuffle the whole
     # html-carrying corpus into hash maps (measured 66s) — hence opt-in.
+    frontier_pin: str = "off"  # persist the delta-mode frontier
+    # reconstruction once per round: "off" (lazy — consumers re-execute the
+    # (base ∪ adds) anti-join chain; each execution is a re-read of committed
+    # parquet the OS page cache already holds), "disk" (DISK_ONLY persist),
+    # or "memory" (MEMORY_AND_DISK). Measured at 16c/1M pages/budget=25
+    # (BENCH/BASELINE.md round-5 A/B): "off" wins — the per-round
+    # materialization barrier costs more than the re-executions it saves at
+    # these frontier sizes; revisit on a real cluster where the
+    # reconstruction's parquet re-reads cross a network filesystem.
     seen_probe_cache: str = "disk"  # LSM probe-list storage for the seen
     # anti-join: "disk" (DISK_ONLY — pre-partitioned/sorted parts stream from
     # local disk through the OS page cache; zero heap pressure, the right
@@ -568,18 +577,31 @@ def _run_crawl_loop(
         part.count()
         return part
 
-    # Delta-mode frontier pin: the reconstructed frontier (base ∪ adds
-    # anti-join seen-deltas — a multi-round plan) is consumed several times
-    # per round (politeness selection, the fetch join's build side, the
-    # delta disjointness anti-join, the host-stats leg). Persist it once per
-    # round so no consumer re-executes the reconstruction; the committed-
-    # counts job materializes it BEFORE the commit's concurrent writes race
-    # on it. Full-frontier rounds read committed parquet directly — no pin.
+    # Delta-mode frontier pin (cfg.frontier_pin): optionally persist the
+    # reconstructed frontier (base ∪ adds anti-join seen-deltas — a
+    # multi-round plan consumed several times per round) so consumers don't
+    # re-execute it; the committed-counts job materializes it before the
+    # commit's concurrent writes race on it. DEFAULT OFF: the round-5 A/B
+    # (BENCH/BASELINE.md) measured the per-round materialization barrier
+    # costing more than the re-executions it saves (the re-reads hit
+    # committed parquet through the OS page cache). Full-frontier rounds
+    # read committed parquet directly — never pinned.
+    pin_level = (
+        None
+        if cfg.frontier_pin == "off"
+        else (
+            StorageLevel.MEMORY_AND_DISK
+            if cfg.frontier_pin == "memory"
+            else StorageLevel.DISK_ONLY
+        )
+    )
     frontier_pin: DataFrame | None = None
 
     def _pin(df: DataFrame) -> DataFrame:
         nonlocal frontier_pin
-        pinned = df.persist(cache_level)
+        if pin_level is None:
+            return df
+        pinned = df.persist(pin_level)
         cached.append(pinned)
         frontier_pin = pinned
         return pinned

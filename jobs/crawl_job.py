@@ -42,6 +42,11 @@ def main() -> None:
         help="LSM probe-list storage for the seen anti-join (see CrawlConfig)",
     )
     p.add_argument(
+        "--frontier-pin", choices=["off", "disk", "memory"], default="off",
+        help="persist the delta-mode frontier reconstruction per round "
+        "(default off — see CrawlConfig.frontier_pin measurement notes)",
+    )
+    p.add_argument(
         "--pages-url-partitioned", action="store_true",
         help="declare the pages table bucketed/hash-partitioned by url "
         "(Iceberg bucket(N, url) or a url-repartitioned cache): the fetch "
@@ -70,6 +75,7 @@ def main() -> None:
         n_shards=args.n_shards,
         use_bloom=args.use_bloom,
         frontier_mode=args.frontier_mode,
+        frontier_pin=args.frontier_pin,
         seen_probe_cache=args.seen_probe_cache,
         pages_url_partitioned=args.pages_url_partitioned,
     )

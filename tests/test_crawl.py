@@ -240,3 +240,28 @@ def test_frontier_delta_mode_identical_and_resumable(spark, pages120, tmp_path):
         a = sorted(map(tuple, read_output(spark, rw, table).collect()))
         b = sorted(map(tuple, read_output(spark, res, table).collect()))
         assert a == b, f"resume {table}"
+
+
+def test_frontier_pin_modes_identical(spark, pages120, tmp_path):
+    """frontier_pin is a pure performance knob: delta-mode outputs must be
+    identical with and without the per-round reconstruction persist."""
+    from fs_crawler_spark.plans.crawl import read_output
+
+    outs = {}
+    for pin in ("off", "disk"):
+        ck = str(tmp_path / pin)
+        run_crawl(
+            spark,
+            pages120,
+            [doc_url(0)],
+            ck,
+            CrawlConfig(
+                max_rounds=30, host_budget=5,
+                frontier_mode="delta", frontier_pin=pin,
+            ),
+        )
+        outs[pin] = {
+            name: sorted(map(tuple, read_output(spark, ck, name).collect()))
+            for name in ("vertices", "edges", "seen")
+        }
+    assert outs["off"] == outs["disk"]
