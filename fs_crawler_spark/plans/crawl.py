@@ -510,6 +510,9 @@ def run_crawl(
         spark.conf.set("spark.sql.adaptive.enabled", aqe_before)
         for df in cached:
             df.unpersist()
+        close = getattr(fetcher, "close", None)
+        if close is not None:
+            close()
 
 
 def _lsm_length_warning(n_parts: int, compact_every: int | None) -> str | None:

@@ -52,6 +52,9 @@ class Fetcher:
         Default: never retry."""
         return None
 
+    def close(self) -> None:
+        """Release per-run resources (the crawl loop calls this on exit)."""
+
 
 class CorpusJoinFetcher(Fetcher):
     """The default "fetch": an inner join of the batch against a static page
