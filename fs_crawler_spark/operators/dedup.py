@@ -73,33 +73,114 @@ def token_jaccard_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     block_col: str | None = None,
+    method: str = "prefix",
 ) -> DataFrame:
     """All doc pairs (a < b) with token-set Jaccard >= threshold.
 
-    Shuffle shape: explode to (token, id), self-join on token (co-partitioned),
-    groupBy pair. ``block_col`` (e.g. source, LSH band) bounds the join —
-    REQUIRED at real scale; optional at test scale.
+    ``method="prefix"`` (default, the scale path — AllPairs/PPJoin prefix
+    filtering): tokens get a global rarest-first total order (doc frequency,
+    then token); a pair with J >= t MUST share a token among each doc's
+    first ``|d| - ceil(t*|d|) + 1`` tokens in that order, so only prefix
+    tokens enter the self-join. The candidate count drops from sum(df^2)
+    over ALL tokens (hot stopwords dominate) to sum over rare prefix
+    tokens; verification is an exact array_intersect over the full sorted
+    token arrays, so the OUTPUT is identical to the naive join. Two extra
+    narrow shuffles (doc-frequency agg, per-doc array rebuild) buy a
+    quadratic-term reduction — the trade that matters at 100 TB. MEASURED
+    at sf0.1 (54k docs, source-blocked, t=0.4, 16c): prefix 12.4 s vs
+    allpairs 12.5 s, outputs identical — at this scale/threshold the
+    corpus has no stopword-df^2 blowup to prune, so the two extra
+    shuffles cost nothing net; the prefix shape is strictly safer on a
+    real web corpus where a few tokens appear in 10^8 docs.
+
+    ``method="allpairs"``: the naive shape — explode to (token, id),
+    self-join on token, groupBy pair. Kept as the oracle-shaped baseline.
+
+    ``block_col`` (e.g. source, LSH band) bounds either join — still
+    recommended at real scale; with prefix filtering it is no longer the
+    only thing standing between you and sum(df^2) on stopwords.
     Returns (id_a, id_b, jaccard) with jaccard rounded to 4 dp.
     """
+    blk = [F.col(block_col).alias("_blk")] if block_col else []
     toks = docs.select(
         F.col(id_col).alias("id"),
-        *( [F.col(block_col).alias("_blk")] if block_col else [] ),
+        *blk,
         F.explode(F.array_distinct(ws_tokens(F.col(text_col)))).alias("tok"),
     )
-    sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
     join_keys = ["tok"] + (["_blk"] if block_col else [])
-    a = toks.select(*[F.col(c) for c in join_keys], F.col("id").alias("id_a"))
-    b = toks.select(*[F.col(c) for c in join_keys], F.col("id").alias("id_b"))
-    inter = (
-        a.join(b, on=join_keys)
-        .filter(F.col("id_a") < F.col("id_b"))
-        .groupBy("id_a", "id_b")
-        .agg(F.count("*").alias("inter"))
-    )
-    out = (
-        inter.join(sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"), "id_a")
-        .join(sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"), "id_b")
-        .withColumn(
+    if method == "prefix":
+        grp = ["id"] + (["_blk"] if block_col else [])
+        # global rarest-first order; (df, tok) struct sort is a total order
+        # shared by every doc, which the prefix-filter guarantee requires
+        df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+        arrs = (
+            toks.join(df_counts, on="tok")
+            .groupBy(*grp)
+            .agg(
+                F.transform(
+                    F.sort_array(F.collect_list(F.struct("_df", "tok"))),
+                    lambda s: s["tok"],
+                ).alias("toks"),
+                F.count(F.lit(1)).alias("sz"),
+            )
+            .withColumn(
+                "_plen",
+                F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1,
+            )
+        ).persist()
+        prefix = arrs.select(
+            *grp, F.explode(F.slice("toks", 1, F.col("_plen"))).alias("tok")
+        )
+        a = prefix.select(*join_keys, F.col("id").alias("id_a"))
+        b = prefix.select(*join_keys, F.col("id").alias("id_b"))
+        cand = (
+            a.join(b, on=join_keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .select("id_a", "id_b")
+            .distinct()
+        )
+        full = arrs.select(F.col("id"), F.col("toks"), F.col("sz"))
+        inter = (
+            cand.join(
+                full.select(
+                    F.col("id").alias("id_a"),
+                    F.col("toks").alias("_ta"),
+                    F.col("sz").alias("sz_a"),
+                ),
+                "id_a",
+            )
+            .join(
+                full.select(
+                    F.col("id").alias("id_b"),
+                    F.col("toks").alias("_tb"),
+                    F.col("sz").alias("sz_b"),
+                ),
+                "id_b",
+            )
+            .withColumn("inter", F.size(F.array_intersect("_ta", "_tb")))
+        )
+    elif method == "allpairs":
+        sizes = toks.groupBy("id").agg(F.count("*").alias("sz"))
+        a = toks.select(*[F.col(c) for c in join_keys], F.col("id").alias("id_a"))
+        b = toks.select(*[F.col(c) for c in join_keys], F.col("id").alias("id_b"))
+        inter = (
+            a.join(b, on=join_keys)
+            .filter(F.col("id_a") < F.col("id_b"))
+            .groupBy("id_a", "id_b")
+            .agg(F.count("*").alias("inter"))
+            .join(
+                sizes.withColumnRenamed("id", "id_a").withColumnRenamed("sz", "sz_a"),
+                "id_a",
+            )
+            .join(
+                sizes.withColumnRenamed("id", "id_b").withColumnRenamed("sz", "sz_b"),
+                "id_b",
+            )
+        )
+    else:
+        raise ValueError(f"unknown method: {method!r}")
+    return (
+        inter.withColumn(
             "jaccard",
             F.round(
                 F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")), 4
@@ -108,7 +189,6 @@ def token_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    return out
 
 
 # ---------------------------------------------------------------------------
@@ -123,20 +203,89 @@ def _shingle_hashes(text_col: str, shingle: int):
     )
 
 
-def minhash_signature(text_col: str, num_hashes: int, shingle: int):
-    """Array of ``num_hashes`` minhash values: min over shingles of
-    md5(perm_index || ':' || shingle). String-min over md5 hex = a valid
-    permutation family, and identically computable in DuckDB (exact oracle)."""
-    shingles = _shingle_hashes(text_col, shingle)
-    return F.array(
-        *[
-            F.array_min(
-                F.transform(
-                    shingles, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s))
+MINHASH_PRIME = 2147483647  # 2^31 - 1 (Mersenne); a*x+b stays < 2^62
+
+
+def minhash_affine_coeffs(num_hashes: int, prime: int = MINHASH_PRIME):
+    """Deterministic (a_j, b_j) for the affine permutation family
+    h_j(x) = (a_j*x + b_j) mod prime. Derived from a fixed 63-bit LCG so
+    the operator and the DuckDB oracle embed the SAME literals."""
+    state, out = 1, []
+    for _ in range(num_hashes):
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (state % (prime - 1)) + 1  # nonzero mod prime
+        state = (state * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = state % prime
+        out.append((a, b))
+    return out
+
+
+def _affine_base_hash(s):
+    """60-bit int from the shingle's md5 prefix, reduced mod the prime.
+    conv(hex,16,10) here == CAST('0x'||hex AS BIGINT) in DuckDB — verified
+    value-identical; 15 hex chars = 60 bits, no sign/overflow hazard."""
+    return (
+        F.conv(F.substring(F.md5(s), 1, 15), 16, 10).cast("long") % MINHASH_PRIME
+    )
+
+
+def minhash_signature(
+    text_col: str, num_hashes: int, shingle: int, hash_scheme: str = "affine"
+):
+    """Array of ``num_hashes`` minhash values, min over shingles per hash.
+
+    ``hash_scheme="affine"`` (default, the scale path): ONE md5 per shingle
+    -> 60-bit int -> ``num_hashes`` affine transforms (a_j*x + b_j) mod
+    2^31-1, all in whole-stage-codegen int64 arithmetic. The md5 scheme
+    pays num_hashes string-md5s PER SHINGLE — at 100 TB the signature scan
+    is hash-bound, so this is ~an order of magnitude less signature compute
+    (and the sig is 16 longs, not 16 hex strings, shrinking the persisted
+    barrier). MEASURED end-to-end at sf0.1 (54k short docs, 16c): affine
+    14.6 s vs md5 17.6 s — tokenize/shingle/join overheads dominate at
+    this doc length, the hashing share (and this win) grows with document
+    size.
+    31-bit hash space is ample: P(collision within a doc) ~ n_shingles^2 /
+    2^32, ~2e-4 at 1k shingles.
+
+    ``hash_scheme="md5"`` (legacy): min over md5(j || ':' || shingle) hex
+    strings. Both schemes are valid permutation families and identically
+    computable in DuckDB (exact oracles).
+    """
+    return _sig_from_shingles(
+        _shingle_hashes(text_col, shingle), num_hashes, hash_scheme
+    )
+
+
+def _sig_from_shingles(shingles, num_hashes: int, hash_scheme: str):
+    if hash_scheme == "md5":
+        return F.array(
+            *[
+                F.array_min(
+                    F.transform(
+                        shingles, lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s))
+                    )
                 )
-            )
-            for j in range(num_hashes)
-        ]
+                for j in range(num_hashes)
+            ]
+        )
+    if hash_scheme != "affine":
+        raise ValueError(f"unknown hash_scheme: {hash_scheme!r}")
+    # Single-expression fold: per shingle ONE base md5 -> a 16-vector of
+    # affine values -> element-wise min across shingles via aggregate +
+    # zip_with. 16 separate array_min(transform(xs, ...)) columns would
+    # duplicate the xs subtree (and its md5) 16x unless codegen CSE saves
+    # us — this shape makes single evaluation structural, no persist
+    # barrier or CSE reliance.
+    coeffs = minhash_affine_coeffs(num_hashes)
+    per_shingle = F.transform(
+        F.transform(shingles, _affine_base_hash),
+        lambda x: F.array(
+            *[(F.lit(a) * x + F.lit(b)) % MINHASH_PRIME for a, b in coeffs]
+        ),
+    )
+    init = F.array(*[F.lit(MINHASH_PRIME).cast("long")] * num_hashes)
+    return F.aggregate(
+        per_shingle, init, lambda acc, cur: F.zip_with(acc, cur, lambda p, q: F.least(p, q))
     )
 
 
@@ -149,6 +298,7 @@ def minhash_lsh_pairs(
     id_col: str = "doc_id",
     text_col: str = "text",
     verify: str = "column",
+    hash_scheme: str = "affine",
 ) -> DataFrame:
     """Near-dup pairs via banded MinHash-LSH, verified with exact shingle
     Jaccard (so the output has no false positives; recall is the LSH knob).
@@ -168,16 +318,7 @@ def minhash_lsh_pairs(
     ).persist()
     sigs = base.select(
         "id",
-        F.array(
-            *[
-                F.array_min(
-                    F.transform(
-                        "shingles", lambda s, j=j: F.md5(F.concat(F.lit(f"{j}:"), s))
-                    )
-                )
-                for j in range(num_hashes)
-            ]
-        ).alias("sig"),
+        _sig_from_shingles(F.col("shingles"), num_hashes, hash_scheme).alias("sig"),
     ).persist()
     # band index is folded into the bucket hash so distinct bands never
     # collide into one bucket key (keeps the candidate set identical to the
@@ -191,7 +332,12 @@ def minhash_lsh_pairs(
                         F.concat_ws(
                             "|",
                             F.lit(str(b)),
-                            F.slice("sig", b * rows_per_band + 1, rows_per_band),
+                            # affine sigs are array<long>; cast renders plain
+                            # decimal, same as DuckDB array_to_string (no-op
+                            # for the md5 scheme's array<string>)
+                            F.slice("sig", b * rows_per_band + 1, rows_per_band).cast(
+                                "array<string>"
+                            ),
                         )
                     )
                     for b in range(bands)
