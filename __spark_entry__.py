@@ -696,6 +696,38 @@ def q_doc_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def q_repetition_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style repetition signals per document: fraction of non-empty
+    lines that repeat an earlier line (pure array algebra, zero shuffle),
+    and the fraction of token bigrams covered by the single most frequent
+    bigram (explode -> two keyed aggregations). The two standard
+    boilerplate/templating detectors a webtext pipeline applies before
+    training. Returns (doc_id, dup_line_frac, top_bigram_frac)."""
+    from fs_crawler_spark.functions.textfns import bigrams, dup_line_frac
+
+    docs = _docs(spark, sf_dir)
+    bg = docs.select(
+        F.col("doc_id"), F.explode(bigrams(F.col("text"))).alias("bg")
+    )
+    agg = (
+        bg.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .groupBy("doc_id")
+        .agg(F.max("n").alias("mx"), F.sum("n").alias("tot"))
+    )
+    return (
+        docs.select("doc_id", dup_line_frac(F.col("text")).alias("dup_line_frac"))
+        .join(agg, on="doc_id", how="left")
+        .select(
+            "doc_id",
+            "dup_line_frac",
+            F.coalesce(
+                F.round(F.col("mx").cast("double") / F.col("tot"), 4), F.lit(0.0)
+            ).alias("top_bigram_frac"),
+        )
+    )
+
+
 def q_quality_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The composed keep-set of a training-data quality pipeline: English,
     quality score >= 0.5, sane token count — the decision a 100 TB corpus
@@ -1005,6 +1037,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_type_stats": q_events_type_stats,
         "doc_stats": q_doc_stats,
         "quality_filter": q_quality_filter,
+        "repetition_stats": q_repetition_stats,
         "token_doc_freq": q_token_doc_freq,
         "doc_sha": q_doc_sha,
         "doc_fingerprint": q_doc_fingerprint,
@@ -1817,6 +1850,35 @@ SELECT doc_id, n_tokens, n_bpe,
        round(0.4 * least(1.0, n_tokens / 100.0) + 0.3 * (1.0 - pr) + 0.3 * sr, 4) AS quality,
        {lang_case} AS lang_pred
 FROM m
+""",
+        "repetition_stats": f"""
+WITH lines AS (
+  SELECT doc_id,
+         list_filter(list_transform(string_split_regex(text, '\\n'), l -> trim(l)),
+                     l -> l != '') AS ls
+  FROM documents
+),
+dlf AS (
+  SELECT doc_id,
+         CASE WHEN len(ls) > 0
+              THEN round((len(ls) - len(list_distinct(ls)))::DOUBLE / len(ls), 4)
+              ELSE 0.0 END AS dup_line_frac
+  FROM lines
+),
+toks AS (SELECT doc_id, {_TOKS} AS tk FROM documents),
+bgs AS (
+  SELECT doc_id,
+         unnest(CASE WHEN len(tk) >= 2
+                     THEN list_transform(generate_series(1, len(tk) - 1),
+                                         i -> tk[i] || ' ' || tk[i + 1])
+                     ELSE [] END) AS bg
+  FROM toks
+),
+cnt AS (SELECT doc_id, bg, count(*) AS n FROM bgs GROUP BY doc_id, bg),
+agg AS (SELECT doc_id, max(n) AS mx, sum(n) AS tot FROM cnt GROUP BY doc_id)
+SELECT d.doc_id, d.dup_line_frac,
+       coalesce(round(a.mx::DOUBLE / a.tot, 4), 0.0) AS top_bigram_frac
+FROM dlf d LEFT JOIN agg a USING (doc_id)
 """,
         "quality_filter": f"""
 WITH t AS (SELECT doc_id, text, {_TOKS} AS tk FROM documents),

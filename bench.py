@@ -89,6 +89,7 @@ def main() -> None:
         "resolution_rule",
         "doc_stats",
         "doc_fingerprint",
+        "repetition_stats",
         "token_jaccard",
         "minhash_lsh",
         "simhash",

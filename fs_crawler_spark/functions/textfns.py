@@ -98,3 +98,36 @@ def doc_fingerprint(text: Column, shingle: int = 8) -> Column:
 def text_sha(text: Column) -> Column:
     """Exact-dedup key: md5 of the raw text (cross-engine deterministic)."""
     return F.md5(text)
+
+
+def doc_lines(text: Column) -> Column:
+    """Non-empty lines of the raw text (whitespace-trimmed per line)."""
+    return F.filter(
+        F.transform(F.split(text, r"\n"), lambda l: F.trim(l)),
+        lambda l: l != F.lit(""),
+    )
+
+
+def dup_line_frac(text: Column) -> Column:
+    """Gopher-style repetition signal: fraction of non-empty lines that are
+    duplicates of an earlier line (0 when the doc has no lines). Pure
+    array algebra — no explode, no shuffle; rounded 4 dp for the oracle."""
+    ls = doc_lines(text)
+    n = F.size(ls)
+    return F.when(
+        n > 0,
+        F.round((n - F.size(F.array_distinct(ls))).cast("double") / n, 4),
+    ).otherwise(F.lit(0.0))
+
+
+def bigrams(text: Column) -> Column:
+    """Adjacent whitespace-token bigrams ('tok1 tok2'); empty for docs with
+    fewer than 2 tokens."""
+    toks = ws_tokens(text)
+    return F.when(
+        F.size(toks) >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - 1),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))

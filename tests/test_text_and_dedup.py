@@ -232,3 +232,50 @@ def test_connected_components_reliable_checkpoint_mode(spark, tmp_path):
     }
     assert reliable == local
     assert reliable["c"] == "a" and reliable["y"] == "x" and reliable["p3"] == "p"
+
+
+def test_repetition_signals_hand_computed(spark):
+    """Gopher-style repetition signals against hand-computed values."""
+    from pyspark.sql import functions as F
+
+    from fs_crawler_spark.functions.textfns import bigrams, dup_line_frac
+
+    df = spark.createDataFrame(
+        [
+            # 4 non-empty lines, 'same line' repeats twice -> dup frac 1/4;
+            # bigrams of 'a b a b a' -> [a b, b a, a b, b a] -> top 2/4
+            (1, "same line\nother\n\n  same line  \nend"),
+            (2, "a b a b a"),
+            (3, "one token"),   # 1 bigram, top frac 1.0; no dup lines
+            (4, "solo"),        # no bigrams
+            (5, ""),            # empty doc: both 0.0
+        ],
+        "doc_id int, text string",
+    )
+    rows = {
+        r["doc_id"]: r
+        for r in df.select(
+            "doc_id",
+            dup_line_frac(F.col("text")).alias("dlf"),
+            F.size(bigrams(F.col("text"))).alias("n_bg"),
+        ).collect()
+    }
+    assert rows[1]["dlf"] == 0.25
+    assert rows[2]["dlf"] == 0.0 and rows[2]["n_bg"] == 4
+    assert rows[3]["n_bg"] == 1
+    assert rows[4]["n_bg"] == 0 and rows[4]["dlf"] == 0.0
+    assert rows[5]["dlf"] == 0.0 and rows[5]["n_bg"] == 0
+
+
+def test_repetition_stats_query_matches_oracle(spark, sf_dir):
+    import duckdb
+
+    import __spark_entry__ as e
+
+    srows = sorted(map(tuple, e.queries()["repetition_stats"](spark, sf_dir).collect()))
+    con = duckdb.connect()
+    con.sql(
+        f"CREATE VIEW documents AS SELECT * FROM read_parquet('{sf_dir}/documents.parquet')"
+    )
+    orows = sorted(map(tuple, con.sql(e.oracle_sql()["repetition_stats"]).fetchall()))
+    assert srows == orows and len(srows) > 0
