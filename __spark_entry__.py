@@ -333,8 +333,15 @@ def q_frontier_antijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def q_link_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P1 link extraction over the whole corpus -> distinct edge list."""
-    pages = build_pages(spark, sf_dir)
+    """P1 link extraction over the whole corpus -> distinct edge list.
+
+    The corpus derives from a single-file scan (1 partition), so the Arrow
+    extraction would otherwise run in one Python worker — spread it to the
+    session's default parallelism first (no-op on an already-parallel
+    corpus; guide §2.5)."""
+    from fs_crawler_spark.operators.dedup import _spread
+
+    pages = _spread(build_pages(spark, sf_dir), "url")
     return (
         extract_pages(pages)
         .select(F.col("url").alias("source"), F.explode("links").alias("destination"))
@@ -380,9 +387,11 @@ def q_resolution_rule(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q_horizon_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A2: within/spanning/frontier counts of the corpus edge list against a
     'resolved' vertex set = docs with doc_id % 3 != 1."""
+    from fs_crawler_spark.operators.dedup import _spread
+
     pages = build_pages(spark, sf_dir)
     edges = (
-        extract_pages(pages)
+        extract_pages(_spread(pages, "url"))
         .select(F.col("url").alias("source"), F.explode("links").alias("destination"))
         .distinct()
         .withColumn("type", F.lit("UntypedParent"))

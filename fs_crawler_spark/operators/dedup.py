@@ -27,6 +27,22 @@ from pyspark.sql import functions as F
 from ..functions.textfns import doc_fingerprint, text_sha, ws_tokens
 
 
+def _spread(df: DataFrame, key: str, parts: int | None = None) -> DataFrame:
+    """Hash-repartition an under-partitioned input before a compute-heavy
+    per-row stage (optimization guide §2.5 "input skew"). A single-file
+    parquet table scans as ONE partition (a 6 MB file is one split and one
+    row group), so every downstream signature kernel / pair join otherwise
+    runs on one core of the whole cluster. Partition count defaults to the
+    session's default parallelism (scale-adaptive: local[N] -> N, cluster ->
+    total executor cores), and the shuffle is skipped when the input is
+    already at least that parallel. Hash on ``key`` (deterministic), not
+    round-robin (avoids the sort-before-repartition pass)."""
+    n = parts or df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= n:
+        return df
+    return df.repartition(n, F.col(key))
+
+
 # ---------------------------------------------------------------------------
 # Exact + fingerprint dedup
 # ---------------------------------------------------------------------------
@@ -100,7 +116,14 @@ def token_jaccard_pairs(
     recommended at real scale; with prefix filtering it is no longer the
     only thing standing between you and sum(df^2) on stopwords.
     Returns (id_a, id_b, jaccard) with jaccard rounded to 4 dp.
+
+    NOTE (cache lifetime): the prefix path persists the per-doc token-array
+    frame for the round's three consumers (prefix explode + both verify
+    joins). The handle is exposed as ``result._tj_cache`` so callers that
+    invoke this repeatedly in one session can ``.unpersist()`` it once the
+    result is materialized; otherwise it lives until session end.
     """
+    docs = _spread(docs, id_col)
     blk = [F.col(block_col).alias("_blk")] if block_col else []
     toks = docs.select(
         F.col(id_col).alias("id"),
@@ -110,32 +133,93 @@ def token_jaccard_pairs(
     join_keys = ["tok"] + (["_blk"] if block_col else [])
     if method == "prefix":
         grp = ["id"] + (["_blk"] if block_col else [])
-        # global rarest-first order; (df, tok) struct sort is a total order
-        # shared by every doc, which the prefix-filter guarantee requires
+        # Candidate bounds below are derived for exact J >= t, but the OUTPUT
+        # filter is on round(J, 4) >= t — a pair can round up from just below
+        # t. Every bound therefore uses t_eff = t - 5e-5 (the half-ulp of the
+        # 4-dp rounding) so the candidate set is a superset of everything the
+        # rounded filter can accept; verification stays exact.
+        t_eff = threshold - 5e-5
+        # Global rarest-first total order shared by every doc (the
+        # prefix-filter guarantee requires one). Tokens are DICTIONARY-
+        # ENCODED to their dense rank in that order: integer join keys and
+        # integer verify arrays are several times cheaper than string ones
+        # at candidate volume, and set sizes (hence jaccard) are unchanged
+        # under the bijection. The rank window is a single-task sort of the
+        # VOCABULARY (not the corpus) — fine into the 10^8-token range; at
+        # larger vocabularies switch to a zipWithIndex-style distributed
+        # rank (order only needs to be total and deterministic, not dense).
         df_counts = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("_df"))
+        rank_w = Window.orderBy(F.col("_df").asc(), F.col("tok").asc())
+        ranked = df_counts.select(
+            "tok", F.row_number().over(rank_w).alias("_rnk")
+        )
         arrs = (
-            toks.join(df_counts, on="tok")
+            toks.join(ranked, on="tok")
             .groupBy(*grp)
             .agg(
-                F.transform(
-                    F.sort_array(F.collect_list(F.struct("_df", "tok"))),
-                    lambda s: s["tok"],
-                ).alias("toks"),
+                F.sort_array(F.collect_list("_rnk")).alias("toks"),
                 F.count(F.lit(1)).alias("sz"),
             )
             .withColumn(
+                # prefix length |d| - ceil(t*|d|) + 1. The product is double
+                # arithmetic: 0.55*100 evaluates to 55.000000000000007, whose
+                # bare ceil (56) would SHORTEN the prefix below the AllPairs
+                # lemma bound and silently drop qualifying pairs. The 1e-9
+                # epsilon absorbs that representation error (double relative
+                # error ~1e-16*t*sz, far below 1e-9 at any realistic doc
+                # size); an epsilon overshoot can only LENGTHEN the prefix,
+                # which keeps the output exact (superset of candidates).
                 "_plen",
-                F.col("sz") - F.ceil(F.lit(threshold) * F.col("sz")) + 1,
+                F.col("sz")
+                - F.ceil(F.lit(t_eff) * F.col("sz") - F.lit(1e-9))
+                + 1,
             )
         ).persist()
+        # PPJoin POSITIONAL filtering (guide §2.3 "shuffle fewer bytes"):
+        # prefix rows carry (position, set size); a joined row survives only
+        # if the overlap still achievable from the match position onward,
+        # 1 + min(sz_a - p_a, sz_b - p_b), reaches the minimal overlap
+        # i_min = ceil(t/(1+t) * (sz_a + sz_b)) that J >= t requires. For a
+        # truly qualifying pair, its FIRST shared token in the global order
+        # (which both sorted prefixes contain, by the AllPairs lemma) has
+        # the minimal positions on both sides, so the bound holds at that
+        # match — any qualifying pair survives. Rows die BEFORE the distinct
+        # exchange: measured at sf1.0 this cuts the 566M-row raw join to a
+        # fraction ahead of the 62M-pair dedup, and subsumes length
+        # filtering (at p_a = p_b = 1 the bound reduces to
+        # min(sz) >= i_min).
         prefix = arrs.select(
-            *grp, F.explode(F.slice("toks", 1, F.col("_plen"))).alias("tok")
+            *grp,
+            F.col("sz"),
+            F.posexplode(F.slice("toks", 1, F.col("_plen"))).alias("_p", "tok"),
         )
-        a = prefix.select(*join_keys, F.col("id").alias("id_a"))
-        b = prefix.select(*join_keys, F.col("id").alias("id_b"))
+        a = prefix.select(
+            *join_keys,
+            F.col("id").alias("id_a"),
+            F.col("sz").alias("_sza"),
+            F.col("_p").alias("_pa"),
+        )
+        b = prefix.select(
+            *join_keys,
+            F.col("id").alias("id_b"),
+            F.col("sz").alias("_szb"),
+            F.col("_p").alias("_pb"),
+        )
+        i_min = F.ceil(
+            F.lit(t_eff / (1.0 + t_eff)) * (F.col("_sza") + F.col("_szb"))
+            - F.lit(1e-9)
+        )
         cand = (
             a.join(b, on=join_keys)
             .filter(F.col("id_a") < F.col("id_b"))
+            .filter(
+                1
+                + F.least(
+                    F.col("_sza") - (F.col("_pa") + 1),
+                    F.col("_szb") - (F.col("_pb") + 1),
+                )
+                >= i_min
+            )
             .select("id_a", "id_b")
             .distinct()
         )
@@ -179,7 +263,7 @@ def token_jaccard_pairs(
         )
     else:
         raise ValueError(f"unknown method: {method!r}")
-    return (
+    out = (
         inter.withColumn(
             "jaccard",
             F.round(
@@ -189,6 +273,9 @@ def token_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    if method == "prefix":
+        out._tj_cache = arrs  # cleanup hook (see docstring)
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -312,6 +399,7 @@ def minhash_lsh_pairs(
     Returns (id_a, id_b, jaccard).
     """
     rows_per_band = num_hashes // bands
+    docs = _spread(docs, id_col)
     base = docs.select(
         F.col(id_col).alias("id"),
         _shingle_hashes(text_col, shingle).alias("shingles"),
@@ -404,11 +492,13 @@ def minhash_lsh_pairs(
         )
     inter = F.size(F.array_intersect("sh_a", "sh_b"))
     union = F.size(F.array_union("sh_a", "sh_b"))
-    return (
+    out = (
         cand.withColumn("jaccard", F.round(inter / union, 4))
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    out._mh_cache = (base, sigs)  # cleanup hook: unpersist once materialized
+    return out
 
 
 # ---------------------------------------------------------------------------
@@ -578,6 +668,7 @@ def simhash_near_dup_pairs(
     # self-join read the cached signatures instead of recomputing.
     # kernel=True: Arrow-vectorized signatures (default, ~3x);
     # kernel=False: the pure-Column algebra (kept as the parity oracle).
+    docs = _spread(docs, id_col)
     if kernel:
         sh = simhash_blocks_kernel(docs, id_col, text_col, bits, blocks).persist()
     else:

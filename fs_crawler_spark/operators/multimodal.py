@@ -107,7 +107,14 @@ def extract_features(media: DataFrame, dim: int = 8) -> DataFrame:
                 }
             )
 
-    return media.select("media_id", "payload").mapInPandas(batches, FEATURE_SCHEMA)
+    from .dedup import _spread
+
+    # partition-preserving when the input is already parallel; a single-file
+    # media table otherwise funnels the whole decode through one Python
+    # worker (guide §2.5) — spread it to the session's default parallelism
+    return _spread(media, "media_id").select("media_id", "payload").mapInPandas(
+        batches, FEATURE_SCHEMA
+    )
 
 
 def frame_sample_plan(media: DataFrame, every_ms: int = 1000) -> DataFrame:

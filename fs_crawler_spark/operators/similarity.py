@@ -19,6 +19,8 @@ import math
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
+from .dedup import _spread
+
 
 def _dot(a, b):
     return F.aggregate(
@@ -69,7 +71,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(query_id_col).alias("query_id"), F.col(vec_col).alias("_qvec")
     )
-    c = embeddings.select(
+    # corpus side carries the per-pair scoring; spread an under-partitioned
+    # (single-file) scan so it isn't one core's work (guide §2.5)
+    c = _spread(embeddings, id_col).select(
         F.col(id_col).alias("vec_id"), F.col(vec_col).cast("array<double>").alias("_cvec")
     )
     scored = c.crossJoin(F.broadcast(q.withColumn("_qvec", F.col("_qvec").cast("array<double>")))).select(
@@ -122,7 +126,9 @@ def ann_lsh_topk(
     """Approximate top-k: candidates share the query's hyperplane bucket,
     re-ranked by exact cosine. Returns (query_id, vec_id, cos, rank)."""
     planes = _hyperplanes(dim, n_planes, seed)
-    c = embeddings.select(
+    # the per-row bucket signature (n_planes x dim interpreted dot products)
+    # and the per-candidate re-rank both run on the corpus side's partitions
+    c = _spread(embeddings, id_col).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_cvec"),
         lsh_bucket(vec_col, planes).alias("_bucket"),
@@ -200,7 +206,9 @@ def ivf_topk(
     """
     cents = _centroids(dim, n_centroids, seed)
     c_scores = _centroid_scores(vec_col, cents)
-    corpus = embeddings.select(
+    # per-row centroid argmax (n_centroids x dim interpreted dots) runs on
+    # the corpus partitions; spread a single-file scan first
+    corpus = _spread(embeddings, id_col).select(
         F.col(id_col).alias("vec_id"),
         F.col(vec_col).cast("array<double>").alias("_cvec"),
         # first-max wins on exact ties — same rule as the oracle's list_indexof
@@ -247,20 +255,41 @@ def embedding_near_dup_pairs(
     vec_col: str = "embedding",
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (a < b, cos >= threshold),
-    LSH-bucketed candidate generation + exact cosine verify."""
+    LSH-bucketed candidate generation + exact cosine verify.
+
+    Verify-stage shape (guide §2.5/§4): norms are computed ONCE per row
+    before the bucket join instead of once per candidate pair — the pair
+    count is quadratic in bucket occupancy, so the per-pair work drops from
+    three interpreted array folds + a sqrt to one fold and a divide, with a
+    bit-identical result (``_norm(v)`` is a deterministic per-row scalar and
+    ``dot/(na*nb)`` is the same expression tree as ``cosine``). The probe
+    side is hash-repartitioned to the session's default parallelism first:
+    a single-file embeddings table scans as ONE partition, and with the
+    bucket side broadcast the whole quadratic verify otherwise lands on a
+    single core."""
     planes = _hyperplanes(dim, n_planes, seed)
-    e = embeddings.select(
+    e = _spread(embeddings, id_col).select(
         F.col(id_col).alias("id"),
         F.col(vec_col).cast("array<double>").alias("vec"),
         lsh_bucket(vec_col, planes).alias("_bucket"),
+    ).withColumn("_nrm", _norm(F.col("vec")))
+    a = e.select(
+        "_bucket", F.col("id").alias("id_a"), F.col("vec").alias("va"),
+        F.col("_nrm").alias("_na"),
     )
-    a = e.select("_bucket", F.col("id").alias("id_a"), F.col("vec").alias("va"))
-    b = e.select("_bucket", F.col("id").alias("id_b"), F.col("vec").alias("vb"))
+    b = e.select(
+        "_bucket", F.col("id").alias("id_b"), F.col("vec").alias("vb"),
+        F.col("_nrm").alias("_nb"),
+    )
     return (
         a.join(b, on="_bucket")
         .filter(F.col("id_a") < F.col("id_b"))
         .select(
-            "id_a", "id_b", F.round(cosine(F.col("va"), F.col("vb")), 6).alias("cos")
+            "id_a",
+            "id_b",
+            F.round(
+                _dot(F.col("va"), F.col("vb")) / (F.col("_na") * F.col("_nb")), 6
+            ).alias("cos"),
         )
         .filter(F.col("cos") >= threshold)
     )

@@ -118,6 +118,16 @@ class CrawlConfig:
     # (MEMORY_AND_DISK — fastest when heap is plentiful), or "off" (flat
     # union-read probe, the pre-LSM shape). Whatever the level, chained
     # anti-joins plan with zero exchange/sort on the seen side.
+    eager_round_cache: bool = False  # materialize parsed/batch/spool in ONE
+    # job before the commit's 5 concurrent writes. The racing write jobs do
+    # serialize on the block-manager's per-partition compute locks while the
+    # first one fills the caches (profiled: write stages with 20-47 s of
+    # summed task RUN time vs ~1 s CPU — parked slots), but an interleaved
+    # same-session A/B at 32c/100k pages (9 runs) measured min lazy 48.5 s
+    # vs min eager 52.8 s: with 5x32 tasks oversubscribing 32 cores the
+    # parked slots are back-filled anyway, and the extra job per round costs
+    # more than the locks. DEFAULT OFF (round-5 shape); the knob stays for
+    # clusters where executor slots are not oversubscribed.
     aqe_in_loop: bool = False  # AQE re-plans every stage of every job — pure
     # driver latency on the iterative path (measured 26% of wall at 16 cores,
     # 8M pages), and redundant here: the loop's skew risk (hot hosts) is
@@ -749,6 +759,17 @@ def _run_crawl_loop(
         # the politeness rank-1 pass is shared by the batch path AND the
         # deferred path (frontier write); pin it so neither recomputes it
         spool = plan.spool.persist() if plan.spool is not None else None
+        # Materialize the shared round state in ONE job BEFORE the commit's
+        # concurrent writes. Without this, the 5 racing write jobs all hit
+        # the unpopulated parsed/batch/spool caches at once and serialize on
+        # the block-manager's per-partition compute locks — profiled as
+        # write stages with sum(task run time) 20-47 s against ~1 s of CPU
+        # (slots parked waiting on another job's cache fill). Evaluating
+        # parsed pulls batch (and spool, via the politeness split) through
+        # their persists as a side effect, so one count warms all three and
+        # the writes become IO-bound and genuinely parallel.
+        if cfg.eager_round_cache:
+            parsed.count()
         snapshot_id = time.time_ns()
 
         # Per-partition lineage (north_rule): rows per partition of this

@@ -40,6 +40,23 @@ def get_spark(
         # share each core during extraction stages
         .config("spark.python.worker.reuse", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # Scan-split sizing (guide §6): the test tables are single parquet
+        # files with ~20-30 MB row groups (lineitem at sf1.0: 132 MB, 6 row
+        # groups), so the 128m default puts a whole-table scan on 1-2 cores.
+        # 16m aligns splits with row groups -> one task per row group. This
+        # is file-layout-adaptive, not core-count-tuned: a cluster reading
+        # properly sized multi-file tables should override upward via
+        # SPARK_GRAFT_MAX_PARTITION_BYTES (or per-job spark-submit conf).
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "16m"),
+        )
+        # Small-file packing: files-per-split ~= maxPartitionBytes/openCost,
+        # so the 16m split size above would cut packing of the crawl's tiny
+        # per-round delta files from 32/task to 4/task with the 4m default
+        # open cost. 512k keeps tiny-file scans dense (local disk opens are
+        # cheap) while big row groups still split 16m-wide.
+        .config("spark.sql.files.openCostInBytes", str(512 * 1024))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))

@@ -73,10 +73,17 @@ class StreamDirs:
 
 
 def _read_optional(spark: SparkSession, path: str, ddl: str) -> DataFrame | None:
+    from pyspark.errors import AnalysisException
+
     try:
         return spark.read.schema(ddl).parquet(path)
-    except Exception:
-        return None  # first batch: nothing committed yet
+    except AnalysisException as e:
+        # ONLY "first batch: nothing committed yet" is recoverable. A corrupt
+        # or unreadable seen dir must fail loudly — treating it as absent
+        # would skip the seen anti-join and silently re-crawl everything.
+        if "PATH_NOT_FOUND" not in str(e):
+            raise
+        return None
 
 
 def start_crawl_stream(
@@ -124,9 +131,17 @@ def start_crawl_stream(
         )
         parsed = plan.parsed.persist()
         try:
-            plan.vertices_delta.write.mode("append").parquet(dirs.vertices)
-            plan.edges_delta.write.mode("append").parquet(dirs.edges)
-            plan.seen_delta.write.mode("append").parquet(dirs.seen)
+            # The feedback frontier is appended BEFORE the seen delta: a
+            # crash between the two appends then re-queues (not loses) work.
+            # If seen landed first, the replayed micro-batch would anti-join
+            # all of its own urls against the just-written seen rows, re-run
+            # empty, and never write the batch's discovered children —
+            # permanent subtree loss. With frontier first, the worst case is
+            # a duplicate feedback file, which the next batch's
+            # dedup_frontier + seen anti-join neutralize (it re-runs empty
+            # and appends nothing). The feedback plan reads the seen dir
+            # only as it was BEFORE this batch's append, so evaluating it
+            # first is also the order its lineage assumes.
             feedback = plan.new_frontier.persist()
             try:
                 # zero-row appends still create files; they would re-trigger
@@ -135,6 +150,9 @@ def start_crawl_stream(
                     feedback.write.mode("append").parquet(dirs.frontier)
             finally:
                 feedback.unpersist()
+            plan.vertices_delta.write.mode("append").parquet(dirs.vertices)
+            plan.edges_delta.write.mode("append").parquet(dirs.edges)
+            plan.seen_delta.write.mode("append").parquet(dirs.seen)
         finally:
             parsed.unpersist()
 

@@ -76,3 +76,17 @@ def test_stream_budgeted_same_fixed_point(spark, sf_dir, tmp_path):
     bseen = {r["url"] for r in read_output(spark, bdir, "seen").collect()}
     sseen = {r["url"] for r in read_stream_output(spark, sdir, "seen").collect()}
     assert bseen == sseen
+
+
+def test_read_optional_missing_vs_error(spark, tmp_path):
+    """_read_optional recovers ONLY from 'path not found' (first batch);
+    any other read failure must propagate instead of silently yielding
+    seen=None (which would skip the seen anti-join and re-crawl)."""
+    import pytest as _pytest
+
+    from fs_crawler_spark.streaming.crawl_stream import FRONTIER_DDL, _read_optional
+
+    ddl = FRONTIER_DDL + ", shard int"
+    assert _read_optional(spark, str(tmp_path / "nope"), ddl) is None
+    with _pytest.raises(Exception):
+        _read_optional(spark, "", ddl)  # invalid path: not a first-batch case

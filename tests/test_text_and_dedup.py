@@ -279,3 +279,38 @@ def test_repetition_stats_query_matches_oracle(spark, sf_dir):
     )
     orows = sorted(map(tuple, con.sql(e.oracle_sql()["repetition_stats"]).fetchall()))
     assert srows == orows and len(srows) > 0
+
+
+def test_token_jaccard_prefix_equals_allpairs_across_thresholds(spark):
+    """Prefix filtering must be output-identical to the naive all-pairs join
+    at EVERY threshold — including ones like 0.55/0.67/0.81 whose double
+    product t*|d| overshoots the exact value (0.55*20 -> 11.000000000000002),
+    where a bare ceil() would shorten the prefix below the AllPairs lemma
+    bound and silently drop qualifying pairs."""
+    import random
+
+    rng = random.Random(20260821)
+    vocab = [f"w{i}" for i in range(30)]
+    rows = []
+    for i in range(40):
+        sz = rng.randint(5, 25)
+        rows.append((i, " ".join(rng.sample(vocab, sz))))
+    # seed exact-overlap families around the awkward sizes: |d|=20 with
+    # t=0.55 is the documented ceil-overshoot case
+    rows.append((100, " ".join(vocab[:20])))
+    rows.append((101, " ".join(vocab[:20])))          # J = 1.0
+    rows.append((102, " ".join(vocab[2:22])))         # J = 18/22
+    rows.append((103, " ".join(vocab[5:25])))         # J = 15/25 vs 100
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    for t in (0.27, 0.5, 0.55, 0.67, 0.81):
+        got_prefix = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in token_jaccard_pairs(df, t, method="prefix").collect()
+        }
+        got_allpairs = {
+            (r["id_a"], r["id_b"], r["jaccard"])
+            for r in token_jaccard_pairs(df, t, method="allpairs").collect()
+        }
+        assert got_prefix == got_allpairs, f"threshold {t}"
+        if t <= 0.81:
+            assert (100, 101, 1.0) in got_prefix
