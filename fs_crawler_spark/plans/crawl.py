@@ -155,6 +155,7 @@ def _committed_counts(
     round_i: int,
     frontier_next: DataFrame | None = None,
     host_budget: int | None = None,
+    materialize: DataFrame | None = None,
 ) -> dict[str, int]:
     """Exact per-round counts from the committed snapshot in ONE job: a
     union of per-table count aggregates (parquet footer metadata — no data
@@ -168,7 +169,12 @@ def _committed_counts(
     (one job per round instead of two), and — in delta frontier mode, where
     ``frontier_next`` is the freshly persisted multi-round reconstruction —
     materializes that cache as a side effect, so no later consumer ever
-    re-executes the reconstruction."""
+    re-executes the reconstruction.
+
+    ``materialize`` (optional) rides one more count leg over a persisted
+    DataFrame purely to populate its cache inside this job — the loop
+    passes the round's LSM seen-probe part here, which used to cost a
+    dedicated per-round job (+ its scheduling gap)."""
     legs = []
     for name in ("vertices", "edges", "frontier"):
         legs.append(
@@ -208,6 +214,12 @@ def _committed_counts(
                     )
                 ).alias("t", "n")
             )
+        )
+    if materialize is not None:
+        legs.append(
+            materialize.groupBy()
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.lit("_materialize").alias("t"), F.col("n"))
         )
     u = legs[0]
     for df in legs[1:]:
@@ -579,7 +591,7 @@ def _run_crawl_loop(
     )
     probe_n_warned = False
 
-    def _as_part(df: DataFrame) -> DataFrame:
+    def _as_part(df: DataFrame, materialize: bool = True) -> DataFrame:
         part = (
             df.select("url_hash", "url")
             .repartition(probe_n, "url_hash", "url")
@@ -587,7 +599,8 @@ def _run_crawl_loop(
             .persist(cache_level)
         )
         cached.append(part)
-        part.count()
+        if materialize:
+            part.count()
         return part
 
     # Delta-mode frontier pin (cfg.frontier_pin): optionally persist the
@@ -885,6 +898,17 @@ def _run_crawl_loop(
             else _pin(_load_frontier(spark, store, round_i))
         )
 
+        # Next round's LSM probe part (this round's committed seen delta,
+        # re-laid-out for the zero-exchange anti-join chain) is built here
+        # and MATERIALIZED BY THE COUNTS JOB below — folding what used to
+        # be a dedicated per-round cache-fill job (+ scheduling gap) into
+        # the one job the loop already pays.
+        next_part: DataFrame | None = None
+        if probe_cache:
+            next_part = _as_part(
+                store.read(spark, round_i, "seen"), materialize=False
+            )
+
         # Loop-control and logged counts come from the COMMITTED parquet —
         # one job for all of them (table count() legs read parquet footers
         # only; the budgeted path folds in next round's politeness host
@@ -902,6 +926,7 @@ def _run_crawl_loop(
             round_i,
             frontier_next=frontier_next if cfg.host_budget is not None else None,
             host_budget=cfg.host_budget,
+            materialize=next_part,
         )
         host_stats = (
             (stats["hosts"], stats["over"])
@@ -960,9 +985,9 @@ def _run_crawl_loop(
                 cached[:] = [
                     c for c in cached if all(c is not p for p in seen_parts)
                 ]
-                seen_parts = [_as_part(store.read(spark, round_i, "seen"))]
+                seen_parts = [next_part]
             else:
-                seen_parts.append(_as_part(store.read(spark, round_i, "seen")))
+                seen_parts.append(next_part)
             lsm_msg = _lsm_length_warning(len(seen_parts), cfg.compact_every)
             if lsm_msg:
                 logger.warning(lsm_msg)
