@@ -63,14 +63,27 @@ logger = logging.getLogger(__name__)
 class CrawlConfig:
     max_rounds: int = 8
     host_budget: int | None = None  # None = fetch whole frontier per round
-    salt_n: int = 16  # politeness two-phase top-k salt width
+    salt_n: int = 4  # politeness two-phase top-k salt width. Selection is
+    # EXACT for any salt_n >= 1; the knob trades phase-1 cell size against
+    # phase-2 funnel width (phase 2 re-ranks <= salt_n x budget rows per
+    # host in ONE task). Round-6 sf1.0 A/B (1M pages, budget 5000): 16 -> 4
+    # cut the re-rank input 4x and the crawl ~10% wall; raise it on
+    # clusters where a single phase-1 cell of a hub host would exceed a
+    # task's comfortable sort size (cell ~ frontier/host/salt_n rows).
     n_shards: int = 32  # seen-set shard count (Iceberg bucket(N) analog)
     edge_type: str = UNTYPED_PARENT
     mode: str = "web"  # "web" (href links) | "persons" (GedcomX-parity JSON)
     use_bloom: bool = False  # advisory seen-set pre-filter (correctness-free)
     bloom_expected_per_shard: int = 100_000
-    compact_every: int | None = 8  # rewrite seen as one snapshot every K
-    # rounds (Iceberg compaction analog) so read fan-in stays bounded
+    compact_every: int | None = 4  # rewrite seen as one snapshot every K
+    # rounds (Iceberg compaction analog) so read fan-in stays bounded.
+    # Cadence trades O(seen) rewrite volume against LSM probe-chain length
+    # (each chained anti-join is one sorted candidate pass) and frontier-
+    # reconstruction fan-in (union legs since the last full snapshot).
+    # Round-6 sf1.0 A/B: 8 -> 4 was worth ~10% of crawl wall here, where
+    # the full-seen rewrite (<= 1M rows) is cheap next to the chain; at a
+    # 10^10-url seen set the rewrite dominates and the cadence should grow
+    # (Iceberg's rewrite_data_files scheduling makes the same trade).
     frontier_mode: str = "auto"  # "rewrite" | "delta" | "auto".
     # rewrite: commit the FULL new frontier every round — O(frontier) parquet
     #   per round, fine when the frontier drains every round (no budget).
